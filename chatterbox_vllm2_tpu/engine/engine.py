@@ -1,0 +1,305 @@
+"""T3 generation engine: CFG-paired continuous decoding, fully jitted.
+
+This is the TPU-native replacement for the vLLM engine the reference plugs
+into (`vllm.LLM` at reference `tts.py:150-171,445`).  Design (SURVEY.md §7):
+
+  * Each request occupies one CFG *pair* = two adjacent device batch rows
+    (even = conditioned, odd = unconditioned).  One fused forward serves both;
+    logits are combined per pair and a single token is sampled and fed back to
+    both rows.
+  * Prefill and decode are separate jitted programs with static shapes; text
+    lengths are bucketed (config.engine.prefill_buckets) so each bucket
+    compiles once.
+  * Decode runs `decode_steps_per_dispatch` tokens per host round-trip via
+    `lax.scan`; per-stream state (lengths, speech positions, sampler state,
+    done flags) lives on device.
+  * The KV cache is donated through the decode step so XLA updates it in
+    place.
+
+Exact speech positions are tracked per stream — fixing the reference's
+acknowledged position-restart approximation (`models/t3/t3.py:447-464`).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, SamplingConfig, T3Config
+from ..models.t3.model import (
+    KVCache,
+    build_decode_embeds,
+    build_prefill_embeds,
+    cfg_combine,
+    decode_attn_mask,
+    make_rope_tables,
+    prefill_attn_mask,
+    speech_logits,
+    t3_backbone,
+)
+from ..ops.sampling import SamplingState, sample
+
+
+@dataclass
+class T3Request:
+    """One utterance to synthesise speech tokens for."""
+
+    text_ids: np.ndarray                  # [Tt] int32 (includes [START]/[STOP] text markers)
+    cond_emb: np.ndarray                  # [34, hidden]
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    max_new_tokens: int = 1000
+    request_id: Optional[str] = None
+
+
+@dataclass
+class T3Result:
+    tokens: np.ndarray                    # [n] int32 speech tokens (no start/stop)
+    finished_by_stop: bool
+    request_id: Optional[str] = None
+    t3_time_s: float = 0.0
+
+
+class DecodeState(NamedTuple):
+    kv: KVCache
+    lengths: jnp.ndarray        # [S] int32 — total tokens written per stream
+    speech_pos: jnp.ndarray     # [B] int32 — exact speech position of next input token
+    last_token: jnp.ndarray     # [B] int32
+    seen: jnp.ndarray           # [B, V] bool — repetition-penalty table
+    done: jnp.ndarray           # [B] bool
+    stopped: jnp.ndarray        # [B] bool — finished by emitting the stop token
+    n_generated: jnp.ndarray    # [B] int32
+    out_tokens: jnp.ndarray     # [B, max_out] int32
+    key: jax.Array
+
+
+# Signature: (logits [B,V] f32, state: DecodeState) -> logits. Used for the
+# in-loop alignment analyzer (reference runs it post-hoc, `tts.py:300-365`).
+LogitProcessor = Callable[[jnp.ndarray, "DecodeState"], jnp.ndarray]
+
+
+class T3Engine:
+    """Batch/continuous T3 speech-token generation."""
+
+    def __init__(
+        self,
+        config: Config,
+        params: dict,
+        *,
+        logit_processor: Optional[LogitProcessor] = None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.config = config
+        self.t3cfg: T3Config = config.t3
+        self.params = params
+        self.compute_dtype = compute_dtype
+        self.logit_processor = logit_processor
+        ecfg = config.engine
+        self.max_len = ecfg.max_model_len
+        self.B = ecfg.max_batch_size
+        self.S = 2 * self.B
+        self.max_out = ecfg.max_model_len
+        cos, sin = make_rope_tables(self.t3cfg, self.max_len)
+        self._rope = (cos, sin)
+        self._decode_chunk = jax.jit(
+            self._decode_chunk_impl,
+            static_argnames=("num_steps",),
+            donate_argnums=(1,),
+        )
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------ #
+    # jitted programs
+    # ------------------------------------------------------------------ #
+
+    def _prefill_impl(
+        self,
+        params,
+        kv: KVCache,
+        cond_emb,            # [B, 34, h]
+        text_ids,            # [B, Tt]
+        text_len,            # [B]
+        sampling: SamplingState,
+        cfg_scale,           # [B]
+        key,
+    ):
+        cfg = self.t3cfg
+        embeds, positions, prefill_len = build_prefill_embeds(
+            params, cfg, cond_emb.astype(self.compute_dtype), text_ids, text_len
+        )
+        T = embeds.shape[1]
+        mask = prefill_attn_mask(prefill_len, T, self.max_len)
+        write_index = jnp.zeros((self.S,), jnp.int32)
+        hidden, kv = t3_backbone(
+            params, cfg, embeds, positions, kv, write_index, mask, *self._rope
+        )
+        last = hidden[jnp.arange(self.S), prefill_len - 1]       # [S, h]
+        logits = cfg_combine(speech_logits(params, last), cfg_scale)
+        seen = jnp.zeros((self.B, cfg.speech_vocab_size), bool)
+        key, sub = jax.random.split(key)
+        tok = sample(logits, sampling, seen, sub)
+        seen = seen.at[jnp.arange(self.B), tok].set(True)
+        return kv, prefill_len, tok, seen, key
+
+    def _decode_step(self, params, sampling: SamplingState, cfg_scale, max_new,
+                     state: DecodeState, _):
+        cfg = self.t3cfg
+        tokens_s = jnp.repeat(state.last_token, 2)
+        pos_s = jnp.repeat(state.speech_pos, 2)
+        embeds = build_decode_embeds(params, cfg, tokens_s, pos_s, self.compute_dtype)
+        mask = decode_attn_mask(state.lengths, self.max_len)
+        hidden, kv = t3_backbone(
+            params, cfg, embeds, state.lengths[:, None].astype(jnp.int32),
+            state.kv, state.lengths, mask, *self._rope
+        )
+        logits = cfg_combine(speech_logits(params, hidden[:, 0, :]), cfg_scale)
+        if self.logit_processor is not None:
+            logits = self.logit_processor(logits, state)
+        key, sub = jax.random.split(state.key)
+        tok = sample(logits, sampling, state.seen, sub)
+
+        active = ~state.done
+        tok = jnp.where(active, tok, cfg.stop_speech_token)
+        seen = state.seen.at[jnp.arange(self.B), tok].set(
+            state.seen[jnp.arange(self.B), tok] | active
+        )
+        out = state.out_tokens.at[jnp.arange(self.B), state.n_generated].set(
+            jnp.where(active, tok, state.out_tokens[jnp.arange(self.B), state.n_generated])
+        )
+        n_gen = state.n_generated + active.astype(jnp.int32)
+        hit_stop = active & (tok == cfg.stop_speech_token)
+        done = state.done | hit_stop | (n_gen >= max_new)
+        lengths = state.lengths + jnp.repeat(active, 2).astype(jnp.int32)
+        speech_pos = state.speech_pos + active.astype(jnp.int32)
+        new_state = DecodeState(
+            kv=kv, lengths=lengths, speech_pos=speech_pos, last_token=tok,
+            seen=seen, done=done, stopped=state.stopped | hit_stop,
+            n_generated=n_gen, out_tokens=out, key=key,
+        )
+        return new_state, None
+
+    def _decode_chunk_impl(self, params, state: DecodeState,
+                           sampling: SamplingState, cfg_scale, max_new,
+                           num_steps: int):
+        step = functools.partial(self._decode_step, params, sampling, cfg_scale, max_new)
+        state, _ = jax.lax.scan(step, state, None, length=num_steps)
+        return state
+
+    # ------------------------------------------------------------------ #
+    # host API
+    # ------------------------------------------------------------------ #
+
+    def _bucket_len(self, n: int) -> int:
+        for b in self.config.engine.prefill_buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"text length {n} exceeds the largest prefill bucket "
+            f"{self.config.engine.prefill_buckets[-1]}"
+        )
+
+    def generate(
+        self,
+        requests: Sequence[T3Request],
+        seed: int = 0,
+    ) -> list[T3Result]:
+        """Generate speech tokens for up to max_batch_size requests.
+
+        Larger request lists are processed in batches (continuous slot-level
+        admission lives in `scheduler.py`).
+        """
+        results: list[T3Result] = []
+        for i in range(0, len(requests), self.B):
+            results.extend(self._generate_batch(requests[i : i + self.B], seed + i))
+        return results
+
+    def _generate_batch(self, requests: Sequence[T3Request], seed: int) -> list[T3Result]:
+        t0 = time.time()
+        cfg = self.t3cfg
+        n = len(requests)
+        B, S = self.B, self.S
+        Tt = self._bucket_len(max(len(r.text_ids) for r in requests))
+
+        text_ids = np.zeros((B, Tt), np.int32)
+        text_len = np.zeros((B,), np.int32)
+        cond = np.zeros((B, cfg.cond_seq_len, cfg.hidden_size), np.float32)
+        cfg_scale = np.zeros((B,), np.float32)
+        max_new = np.full((B,), 1, np.int32)
+        samp = dict(temperature=np.zeros(B, np.float32), top_p=np.ones(B, np.float32),
+                    min_p=np.zeros(B, np.float32), repetition_penalty=np.ones(B, np.float32))
+        for i, r in enumerate(requests):
+            L = len(r.text_ids)
+            text_ids[i, :L] = r.text_ids
+            text_len[i] = L
+            cond[i] = r.cond_emb
+            cfg_scale[i] = r.sampling.cfg_scale
+            budget = self.max_len - (cfg.cond_seq_len + L + 1) - 1
+            max_new[i] = min(r.max_new_tokens, r.sampling.max_tokens, budget)
+            samp["temperature"][i] = r.sampling.temperature
+            samp["top_p"][i] = r.sampling.top_p
+            samp["min_p"][i] = r.sampling.min_p
+            samp["repetition_penalty"][i] = r.sampling.repetition_penalty
+
+        sampling = SamplingState(**{k: jnp.asarray(v) for k, v in samp.items()})
+        kv = KVCache.zeros(cfg, S, self.max_len, self._kv_dtype())
+        key = jax.random.PRNGKey(seed)
+
+        kv, prefill_len, tok, seen, key = self._prefill(
+            self.params, kv, jnp.asarray(cond), jnp.asarray(text_ids),
+            jnp.asarray(text_len), sampling, jnp.asarray(cfg_scale), key
+        )
+
+        # inactive rows are marked done immediately
+        done0 = jnp.asarray(np.arange(B) >= n)
+        first_is_stop = tok == cfg.stop_speech_token
+        state = DecodeState(
+            kv=kv,
+            lengths=prefill_len,
+            speech_pos=jnp.ones((B,), jnp.int32),
+            last_token=tok,
+            seen=seen,
+            done=done0 | first_is_stop,
+            stopped=~done0 & first_is_stop,
+            n_generated=jnp.where(done0 | first_is_stop, 0, 1).astype(jnp.int32),
+            out_tokens=jnp.zeros((B, self.max_out), jnp.int32)
+            .at[:, 0].set(jnp.where(first_is_stop, 0, tok)),
+            key=key,
+        )
+
+        steps = self.config.engine.decode_steps_per_dispatch
+        max_new_j = jnp.asarray(max_new)
+        cfg_scale_j = jnp.asarray(cfg_scale)
+        while True:
+            if bool(np.all(jax.device_get(state.done))):
+                break
+            state = self._decode_chunk(
+                self.params, state, sampling, cfg_scale_j, max_new_j, num_steps=steps
+            )
+
+        out = np.asarray(jax.device_get(state.out_tokens))
+        n_gen = np.asarray(jax.device_get(state.n_generated))
+        stopped = np.asarray(jax.device_get(state.stopped))
+        dt = time.time() - t0
+
+        results = []
+        for i, r in enumerate(requests):
+            toks = out[i, : n_gen[i]]
+            by_stop = bool(stopped[i])
+            toks = toks[toks != cfg.stop_speech_token]
+            results.append(T3Result(
+                tokens=toks.astype(np.int32),
+                finished_by_stop=by_stop,
+                request_id=r.request_id,
+                t3_time_s=dt,
+            ))
+        return results
+
+    def _kv_dtype(self):
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
+            self.config.engine.kv_cache_dtype, jnp.bfloat16
+        )

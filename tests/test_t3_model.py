@@ -1,0 +1,119 @@
+"""T3 model unit tests: shapes, KV-cache consistency, CFG semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chatterbox_vllm2_tpu.config import Config, EngineConfig, T3Config
+from chatterbox_vllm2_tpu.models.t3.model import (
+    KVCache,
+    build_prefill_embeds,
+    cfg_combine,
+    decode_attn_mask,
+    init_t3_params,
+    make_rope_tables,
+    prefill_attn_mask,
+    speech_logits,
+    t3_backbone,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = T3Config.tiny()
+    params = init_t3_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    return cfg, params
+
+
+def test_prefill_embed_layout(tiny):
+    cfg, params = tiny
+    B, Tt = 2, 8
+    cond = jnp.ones((B, cfg.cond_seq_len, cfg.hidden_size))
+    ids = jnp.zeros((B, Tt), jnp.int32).at[0, :5].set(jnp.arange(1, 6)).at[1, :3].set(7)
+    tlen = jnp.asarray([5, 3], jnp.int32)
+    emb, pos, plen = build_prefill_embeds(params, cfg, cond, ids, tlen)
+    assert emb.shape == (2 * B, cfg.cond_seq_len + Tt + 1, cfg.hidden_size)
+    np.testing.assert_array_equal(np.asarray(plen), [40, 40, 38, 38])
+    # uncond rows zero the text embeddings but keep cond prefix and SOS
+    C = cfg.cond_seq_len
+    np.testing.assert_allclose(np.asarray(emb[1, C : C + 5]), 0.0)
+    assert np.abs(np.asarray(emb[0, C : C + 5])).sum() > 0
+    # SOS rows match between cond/uncond at index C + text_len
+    np.testing.assert_allclose(np.asarray(emb[0, C + 5]), np.asarray(emb[1, C + 5]))
+    sos_expected = params["speech_emb"][cfg.start_speech_token] + params["speech_pos_emb"][0]
+    np.testing.assert_allclose(np.asarray(emb[2, C + 3]), np.asarray(sos_expected), rtol=1e-6)
+
+
+def test_prefill_decode_consistency(tiny):
+    """Decoding token-by-token with the KV cache must match a single
+    full-sequence forward (same logits at every position)."""
+    cfg, params = tiny
+    max_len = 32
+    S = 2
+    cos, sin = make_rope_tables(cfg, max_len)
+    rng = jax.random.PRNGKey(1)
+    T_full = 10
+    x_full = jax.random.normal(rng, (S, T_full, cfg.hidden_size))
+
+    # one-shot
+    kv = KVCache.zeros(cfg, S, max_len, jnp.float32)
+    plen = jnp.full((S,), T_full, jnp.int32)
+    mask = prefill_attn_mask(plen, T_full, max_len)
+    pos = jnp.broadcast_to(jnp.arange(T_full), (S, T_full)).astype(jnp.int32)
+    h_full, _ = t3_backbone(params, cfg, x_full, pos, kv,
+                            jnp.zeros((S,), jnp.int32), mask, cos, sin)
+
+    # prefill 6 then decode 4
+    kv = KVCache.zeros(cfg, S, max_len, jnp.float32)
+    T_pre = 6
+    plen = jnp.full((S,), T_pre, jnp.int32)
+    mask = prefill_attn_mask(plen, T_pre, max_len)
+    h_pre, kv = t3_backbone(params, cfg, x_full[:, :T_pre], pos[:, :T_pre], kv,
+                            jnp.zeros((S,), jnp.int32), mask, cos, sin)
+    np.testing.assert_allclose(np.asarray(h_pre), np.asarray(h_full[:, :T_pre]),
+                               rtol=2e-3, atol=1e-4)
+
+    lengths = jnp.full((S,), T_pre, jnp.int32)
+    for t in range(T_pre, T_full):
+        mask = decode_attn_mask(lengths, max_len)
+        h_t, kv = t3_backbone(params, cfg, x_full[:, t : t + 1],
+                              lengths[:, None].astype(jnp.int32), kv,
+                              lengths, mask, cos, sin)
+        np.testing.assert_allclose(np.asarray(h_t[:, 0]), np.asarray(h_full[:, t]),
+                                   rtol=2e-3, atol=1e-4)
+        lengths = lengths + 1
+
+
+def test_cfg_combine():
+    logits = jnp.asarray([
+        [1.0, 2.0], [0.5, 1.0],   # pair 0: cond, uncond
+        [2.0, 0.0], [2.0, 0.0],   # pair 1: identical -> combine is a no-op
+    ])
+    out = cfg_combine(logits, jnp.asarray([0.5, 0.7]))
+    np.testing.assert_allclose(np.asarray(out[0]), [1.25, 2.5])
+    np.testing.assert_allclose(np.asarray(out[1]), [2.0, 0.0])
+
+
+def test_ragged_padding_never_leaks(tiny):
+    """A short sequence's logits must be identical whether batched with a
+    longer one (right-padded) or alone."""
+    cfg, params = tiny
+    from chatterbox_vllm2_tpu.engine.engine import T3Engine, T3Request
+
+    config = Config(
+        t3=cfg,
+        engine=EngineConfig(max_batch_size=2, max_model_len=96,
+                            prefill_buckets=(16,), kv_cache_dtype="float32"),
+    )
+    eng = T3Engine(config, params, compute_dtype=jnp.float32)
+    cond = np.random.RandomState(0).randn(cfg.cond_seq_len, cfg.hidden_size).astype(np.float32)
+    from chatterbox_vllm2_tpu.config import SamplingConfig
+    greedy = SamplingConfig(temperature=0.0, top_p=1.0, repetition_penalty=1.0)
+    short = T3Request(text_ids=np.arange(1, 4, dtype=np.int32), cond_emb=cond,
+                      sampling=greedy, max_new_tokens=8)
+    long = T3Request(text_ids=np.arange(1, 13, dtype=np.int32), cond_emb=cond,
+                     sampling=greedy, max_new_tokens=8)
+    both = eng.generate([short, long])
+    alone = eng.generate([short])
+    np.testing.assert_array_equal(both[0].tokens, alone[0].tokens)
