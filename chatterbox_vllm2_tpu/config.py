@@ -75,6 +75,12 @@ class T3Config:
     def is_multilingual(self) -> bool:
         return self.text_vocab_size > 704
 
+    @property
+    def speech_vocab_padded(self) -> int:
+        """LM-head vocab padded to a 256 multiple so the vocab-parallel shard
+        divides evenly (the analog of vLLM ParallelLMHead padding)."""
+        return ((self.speech_vocab_size + 255) // 256) * 256
+
     @classmethod
     def english(cls) -> "T3Config":
         return cls(text_vocab_size=704)

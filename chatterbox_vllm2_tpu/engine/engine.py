@@ -139,7 +139,7 @@ class T3Engine:
             params, cfg, embeds, positions, kv, write_index, mask, *self._rope
         )
         last = hidden[jnp.arange(self.S), prefill_len - 1]       # [S, h]
-        logits = cfg_combine(speech_logits(params, last), cfg_scale)
+        logits = cfg_combine(speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)
         seen = jnp.zeros((self.B, cfg.speech_vocab_size), bool)
         key, sub = jax.random.split(key)
         tok = sample(logits, sampling, seen, sub)
@@ -157,7 +157,7 @@ class T3Engine:
             params, cfg, embeds, state.lengths[:, None].astype(jnp.int32),
             state.kv, state.lengths, mask, *self._rope
         )
-        logits = cfg_combine(speech_logits(params, hidden[:, 0, :]), cfg_scale)
+        logits = cfg_combine(speech_logits(params, hidden[:, 0, :], cfg.speech_vocab_size), cfg_scale)
         if self.logit_processor is not None:
             logits = self.logit_processor(logits, state)
         key, sub = jax.random.split(state.key)

@@ -79,7 +79,7 @@ def init_t3_params(key: jax.Array, cfg: T3Config, dtype=jnp.float32) -> dict:
         # (`models/t3/t3.py:280-284`)
         "text_pos_emb": _dense_init(next(keys), (cfg.max_text_tokens + 2, h), dtype),
         "speech_pos_emb": _dense_init(next(keys), (cfg.max_speech_tokens + 4, h), dtype),
-        "speech_head": _dense_init(next(keys), (h, cfg.speech_vocab_size), dtype),
+        "speech_head": _dense_init(next(keys), (h, cfg.speech_vocab_padded), dtype),
     }
 
 
@@ -236,11 +236,16 @@ def build_decode_embeds(
 # ---------------------------------------------------------------------------
 
 
-def speech_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Project hidden states onto the 8194-token speech vocab (fp32 logits)."""
-    return jnp.einsum(
+def speech_logits(params: dict, hidden: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
+    """Project hidden states onto the speech vocab (fp32 logits).
+
+    The head is vocab-padded to a 256 multiple for even vocab-parallel
+    sharding; the padding columns are sliced off here.
+    """
+    logits = jnp.einsum(
         "sh,hv->sv", hidden, params["speech_head"], preferred_element_type=jnp.float32
     )
+    return logits[:, :vocab_size]
 
 
 def cfg_combine(logits: jnp.ndarray, cfg_scale: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,2 @@
+from .mesh import make_mesh, MeshConfig
+from .sharding import t3_param_specs, decode_state_specs, shard_params
