@@ -37,9 +37,10 @@ def init_flow(key: jax.Array, cfg: S3GenConfig, dtype=jnp.float32) -> dict:
 def flow_inference(
     params: dict,
     cfg: S3GenConfig,
-    tokens: jnp.ndarray,        # [B, T_tok] int32 — prompt + generated tokens
+    tokens: jnp.ndarray,        # [B, T_tok] int32 — prompt + generated, right-padded
     token_mask: jnp.ndarray,    # [B, T_tok] bool — True = valid
-    prompt_feat: jnp.ndarray,   # [B, mel_len1, 80] prompt mel
+    prompt_feat: jnp.ndarray,   # [B, P_max, 80] prompt mel, right-padded
+    prompt_mel_len: jnp.ndarray,  # [B] int32 — true prompt mel length (= 2*prompt_tok)
     embedding: jnp.ndarray,     # [B, 192] x-vector
     rand_noise: jnp.ndarray,    # [1, 80, >= 2*T_tok]
     *,
@@ -48,14 +49,13 @@ def flow_inference(
     n_timesteps: int = 10,
     finalize: bool = True,
 ) -> jnp.ndarray:
-    """Returns mel [B, 80, T_out] where T_out = 2*T_tok - mel_len1
-    (minus the 2*pre_lookahead tail when finalize=False, streaming mode).
-
-    Frames beyond a sample's true token length are garbage and must be
-    sliced by the caller using its known lengths (static-shape batching).
+    """Returns the FULL mel [B, 80, T_mel = 2*T_tok] (prompt + generated).
+    The caller slices frames [prompt_mel_len, prompt_mel_len + 2*n_gen) per
+    sample; frames beyond a sample's true token length are garbage
+    (static-shape batching).
     """
     B, T_tok = tokens.shape
-    mel_len1 = prompt_feat.shape[1]
+    P_max = prompt_feat.shape[1]
 
     emb_f32 = embedding.astype(jnp.float32)
     emb_norm = emb_f32 * jax.lax.rsqrt(
@@ -73,13 +73,17 @@ def flow_inference(
     h = linear(params["encoder_proj"], h)                      # [B, T_mel, 80]
     T_mel = h.shape[1]
 
+    # conds: prompt mel occupies the first prompt_mel_len frames, zeros after
     conds = jnp.zeros((B, T_mel, cfg.mel_bins), h.dtype)
-    conds = conds.at[:, :mel_len1].set(prompt_feat.astype(h.dtype))
+    P_eff = min(P_max, T_mel)
+    conds = conds.at[:, :P_eff].set(prompt_feat[:, :P_eff].astype(h.dtype))
+    in_prompt = (jnp.arange(T_mel)[None, :] < prompt_mel_len[:, None])[..., None]
+    conds = jnp.where(in_prompt, conds, 0.0)
 
     mel_mask = jnp.repeat(token_mask, cfg.token_mel_ratio, axis=-1)[:, :T_mel]
     mask = mel_mask[:, None, :].astype(h.dtype)                # [B, 1, T_mel]
 
-    mel = cfm_solve(
+    return cfm_solve(
         params["unet"], cfg.unet, cfg.cfm,
         mu=h.transpose(0, 2, 1),
         spks=spks,
@@ -88,4 +92,3 @@ def flow_inference(
         mask=mask,
         n_timesteps=n_timesteps,
     )
-    return mel[:, :, mel_len1:]
