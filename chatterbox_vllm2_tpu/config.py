@@ -99,6 +99,7 @@ class T3Config:
             stop_speech_token=121,
             max_text_tokens=64,
             max_speech_tokens=64,
+            speech_cond_prompt_len=16,
             hidden_size=64,
             num_layers=2,
             num_heads=4,
@@ -271,6 +272,7 @@ class EngineConfig:
     weights_dtype: str = "bfloat16"
     quant_mode: str = "none"            # none | int8 | int4_awq
     decode_steps_per_dispatch: int = 8  # tokens generated per host round-trip
+    enable_analyzer: bool = True        # in-loop alignment stream analyzer
 
 
 @dataclass(frozen=True)

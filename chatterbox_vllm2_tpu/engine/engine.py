@@ -70,12 +70,52 @@ class DecodeState(NamedTuple):
     lengths: jnp.ndarray        # [S] int32 — total tokens written per stream
     speech_pos: jnp.ndarray     # [B] int32 — exact speech position of next input token
     last_token: jnp.ndarray     # [B] int32
+    prev_tokens: jnp.ndarray    # [B, 2] int32 — tokens t-3, t-2 (analyzer window)
+    completed_at: jnp.ndarray   # [B] int32 — frame where text coverage completed (-1)
     seen: jnp.ndarray           # [B, V] bool — repetition-penalty table
     done: jnp.ndarray           # [B] bool
     stopped: jnp.ndarray        # [B] bool — finished by emitting the stop token
     n_generated: jnp.ndarray    # [B] int32
     out_tokens: jnp.ndarray     # [B, max_out] int32
     key: jax.Array
+
+
+def alignment_analyzer_logits(
+    logits: jnp.ndarray,        # [B, V] f32
+    state: "DecodeState",
+    text_len: jnp.ndarray,      # [B] int32
+    eos_id: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """In-loop alignment stream analyzer (reference
+    `models/t3/inference/alignment_stream_analyzer.py:115-195`, which the
+    reference only replays post-hoc over finished token lists,
+    `tts.py:300-365`).
+
+    Heuristics: estimated text position = frames // 2; EOS suppressed until
+    the text is nearly covered; EOS forced on 3-token repetition or on a
+    >=10-frame long tail after coverage completes.
+
+    Returns (modified logits, completed_at update).
+    """
+    B, V = logits.shape
+    big = jnp.float32(2 ** 15)
+    pos = jnp.minimum(state.n_generated // 2, text_len - 1)
+    complete = pos >= (text_len - 3)
+    completed_at = jnp.where(complete & (state.completed_at < 0),
+                             state.n_generated, state.completed_at)
+    long_tail = complete & (completed_at >= 0) & \
+        (state.n_generated - completed_at >= 10)
+    repetition = (
+        (state.n_generated >= 3)
+        & (state.prev_tokens[:, 0] == state.prev_tokens[:, 1])
+        & (state.prev_tokens[:, 1] == state.last_token)
+    )
+    suppress = (pos < text_len - 3) & (text_len > 5)
+    eos_col = jnp.arange(V)[None, :] == eos_id
+    logits = jnp.where(suppress[:, None] & eos_col, -big, logits)
+    force = (long_tail | repetition)[:, None]
+    logits = jnp.where(force, jnp.where(eos_col, big, -big), logits)
+    return logits, completed_at
 
 
 # Signature: (logits [B,V] f32, state: DecodeState) -> logits. Used for the
@@ -147,7 +187,7 @@ class T3Engine:
         return kv, prefill_len, tok, seen, key
 
     def _decode_step(self, params, sampling: SamplingState, cfg_scale, max_new,
-                     state: DecodeState, _):
+                     text_len, state: DecodeState, _):
         cfg = self.t3cfg
         tokens_s = jnp.repeat(state.last_token, 2)
         pos_s = jnp.repeat(state.speech_pos, 2)
@@ -158,6 +198,10 @@ class T3Engine:
             state.kv, state.lengths, mask, *self._rope
         )
         logits = cfg_combine(speech_logits(params, hidden[:, 0, :], cfg.speech_vocab_size), cfg_scale)
+        completed_at = state.completed_at
+        if self.config.engine.enable_analyzer:
+            logits, completed_at = alignment_analyzer_logits(
+                logits, state, text_len, cfg.stop_speech_token)
         if self.logit_processor is not None:
             logits = self.logit_processor(logits, state)
         key, sub = jax.random.split(state.key)
@@ -176,8 +220,12 @@ class T3Engine:
         done = state.done | hit_stop | (n_gen >= max_new)
         lengths = state.lengths + jnp.repeat(active, 2).astype(jnp.int32)
         speech_pos = state.speech_pos + active.astype(jnp.int32)
+        prev = jnp.where(active[:, None],
+                         jnp.stack([state.prev_tokens[:, 1], state.last_token], axis=1),
+                         state.prev_tokens)
         new_state = DecodeState(
             kv=kv, lengths=lengths, speech_pos=speech_pos, last_token=tok,
+            prev_tokens=prev, completed_at=completed_at,
             seen=seen, done=done, stopped=state.stopped | hit_stop,
             n_generated=n_gen, out_tokens=out, key=key,
         )
@@ -185,8 +233,9 @@ class T3Engine:
 
     def _decode_chunk_impl(self, params, state: DecodeState,
                            sampling: SamplingState, cfg_scale, max_new,
-                           num_steps: int):
-        step = functools.partial(self._decode_step, params, sampling, cfg_scale, max_new)
+                           text_len, num_steps: int):
+        step = functools.partial(self._decode_step, params, sampling, cfg_scale,
+                                 max_new, text_len)
         state, _ = jax.lax.scan(step, state, None, length=num_steps)
         return state
 
@@ -262,6 +311,8 @@ class T3Engine:
             lengths=prefill_len,
             speech_pos=jnp.ones((B,), jnp.int32),
             last_token=tok,
+            prev_tokens=jnp.full((B, 2), -1, jnp.int32),
+            completed_at=jnp.full((B,), -1, jnp.int32),
             seen=seen,
             done=done0 | first_is_stop,
             stopped=~done0 & first_is_stop,
@@ -274,11 +325,13 @@ class T3Engine:
         steps = self.config.engine.decode_steps_per_dispatch
         max_new_j = jnp.asarray(max_new)
         cfg_scale_j = jnp.asarray(cfg_scale)
+        text_len_j = jnp.asarray(text_len)
         while True:
             if bool(np.all(jax.device_get(state.done))):
                 break
             state = self._decode_chunk(
-                self.params, state, sampling, cfg_scale_j, max_new_j, num_steps=steps
+                self.params, state, sampling, cfg_scale_j, max_new_j, text_len_j,
+                num_steps=steps
             )
 
         out = np.asarray(jax.device_get(state.out_tokens))

@@ -194,6 +194,84 @@ def campplus_apply(params: dict, cfg: CampPlusConfig, feats: jnp.ndarray) -> jnp
 
 
 # ---------------------------------------------------------------------------
+# random init (tests / no-checkpoint environments)
+# ---------------------------------------------------------------------------
+
+
+def init_campplus_params(key: jax.Array, cfg: CampPlusConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 512))
+
+    def conv2d(c_in, c_out, k=3, bias=False):
+        w = jax.random.normal(next(keys), (c_out, c_in, k, k), jnp.float32) * 0.05
+        p = {"w": w.astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((c_out,), dtype)
+        return p
+
+    def conv1d_p(c_in, c_out, k=1, bias=False):
+        w = jax.random.normal(next(keys), (c_out, c_in, k), jnp.float32) * 0.05
+        p = {"w": w.astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((c_out,), dtype)
+        return p
+
+    def bn(c, affine=True):
+        p = {"mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+        if affine:
+            p["w"] = jnp.ones((c,), dtype)
+            p["b"] = jnp.zeros((c,), dtype)
+        return p
+
+    def res(c_in, c, shortcut):
+        p = {"conv1": conv2d(c_in, c), "bn1": bn(c), "conv2": conv2d(c, c), "bn2": bn(c)}
+        if shortcut:
+            p["shortcut_conv"] = conv2d(c_in, c, k=1)
+            p["shortcut_bn"] = bn(c)
+        return p
+
+    def dense_layer(c_in, growth, bn_ch):
+        return {
+            "bn1": bn(c_in),
+            "linear1": conv1d_p(c_in, bn_ch),
+            "bn2": bn(bn_ch),
+            "cam": {
+                "local": conv1d_p(bn_ch, growth, k=3, bias=True),
+                "linear1": conv1d_p(bn_ch, bn_ch // 2, bias=True),
+                "linear2": conv1d_p(bn_ch // 2, growth, bias=True),
+            },
+        }
+
+    g, bs = cfg.growth_rate, cfg.bn_size
+    ch = 32 * (cfg.feat_dim // 8)
+    blocks = []
+    c = cfg.init_channels
+    for n_layers in (12, 24, 16):
+        layers = []
+        for j in range(n_layers):
+            layers.append(dense_layer(c + j * g, g, bs * g))
+        c = c + n_layers * g
+        blocks.append({
+            "layers": layers,
+            "transit_bn": bn(c),
+            "transit_conv": conv1d_p(c, c // 2),
+        })
+        c //= 2
+    return {
+        "head": {
+            "conv1": conv2d(1, 32), "bn1": bn(32),
+            "layer1": [res(32, 32, True), res(32, 32, False)],
+            "layer2": [res(32, 32, True), res(32, 32, False)],
+            "conv2": conv2d(32, 32), "bn2": bn(32),
+        },
+        "tdnn": {"conv": conv1d_p(ch, cfg.init_channels, k=5), "bn": bn(cfg.init_channels)},
+        "blocks": blocks,
+        "out_bn": bn(c),
+        "dense": {"conv": conv1d_p(2 * c, cfg.embedding_size),
+                  "bn": bn(cfg.embedding_size, affine=False)},
+    }
+
+
+# ---------------------------------------------------------------------------
 # converter (reference state-dict names, prefix e.g. "speaker_encoder.")
 # ---------------------------------------------------------------------------
 

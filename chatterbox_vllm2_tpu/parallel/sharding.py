@@ -61,6 +61,8 @@ def decode_state_specs(state_type) -> "object":
         lengths=P("data"),
         speech_pos=P("data"),
         last_token=P("data"),
+        prev_tokens=P("data", None),
+        completed_at=P("data"),
         seen=P("data", None),
         done=P("data"),
         stopped=P("data"),

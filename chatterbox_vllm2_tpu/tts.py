@@ -1,0 +1,302 @@
+"""ChatterboxTTS: the end-to-end pipeline orchestrator.
+
+Capability parity with the reference `ChatterboxTTS` (`tts.py:61-529`):
+load all four model groups, compute/cache voice conditioning, run T3 through
+our engine (instead of vLLM) and S3Gen per utterance, with the same sampling
+defaults (temperature 0.8, top_p 1.0, min_p 0.05 — which the reference
+accepts but silently drops, `tts.py:415` — repetition_penalty 2.0,
+diffusion_steps 10) plus per-request CFG scale (the reference only has a
+global env var, `models/t3/t3.py:296`).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import lru_cache
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import Config, SamplingConfig, T3Config
+from .engine import T3Engine, T3Request
+from .frontend.audio import read_wav, resample, trim_silence
+from .frontend.text import SUPPORTED_LANGUAGES, detect_language, punc_norm
+from .frontend.tokenizer import SpeechTextTokenizer
+from .models.s3gen.s3gen import RefDict, S3GenEngine, init_s3gen_params
+from .models.s3tokenizer import S3TokenizerModel, init_s3tokenizer
+from .models.t3.cond import cond_enc_apply, init_cond_enc_params
+from .models.t3.model import init_t3_params
+from .models.voice_encoder import embeds_from_wavs, init_voice_encoder
+
+S3GEN_SR = 24_000
+S3_SR = 16_000
+
+
+@dataclass
+class Conditionals:
+    """Per-voice conditioning: T3 cond prefix + S3Gen ref dict."""
+
+    cond_emb: np.ndarray        # [34, 1024]
+    speaker_emb: np.ndarray     # [256]
+    ref: RefDict
+
+
+class ChatterboxTTS:
+    SR = S3GEN_SR
+    ENC_COND_LEN = 6 * S3_SR          # reference `tts.py:62`
+    DEC_COND_LEN = 10 * S3GEN_SR      # reference `tts.py:63`
+
+    def __init__(
+        self,
+        config: Config,
+        *,
+        t3_params: dict,
+        cond_enc_params: dict,
+        s3gen_engine: S3GenEngine,
+        ve_params: dict,
+        tokenizer: Optional[SpeechTextTokenizer] = None,
+        default_conds: Optional[Conditionals] = None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.config = config
+        self.t3cfg: T3Config = config.t3
+        self.t3_params = t3_params
+        self.cond_enc_params = cond_enc_params
+        self.s3gen = s3gen_engine
+        self.ve_params = ve_params
+        self.tokenizer = tokenizer
+        self.default_conds = default_conds
+        self.variant = "multilingual" if config.t3.is_multilingual else "english"
+        self.engine = T3Engine(config, t3_params, compute_dtype=compute_dtype)
+        self._cond_cache: dict = {}
+        self.metrics: dict = {}
+
+    # ------------------------------------------------------------------ #
+    # constructors
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_random(cls, config: Config, seed: int = 0,
+                    compute_dtype=jnp.bfloat16) -> "ChatterboxTTS":
+        """Random weights — for tests, benchmarks, and environments without
+        checkpoints (like this build sandbox)."""
+        keys = jax.random.split(jax.random.PRNGKey(seed), 6)
+        t3_params = init_t3_params(keys[0], config.t3, compute_dtype)
+        cond_params = init_cond_enc_params(keys[1], config.t3, jnp.float32)
+        s3gen_params = init_s3gen_params(keys[2], config.s3gen, jnp.float32)
+        s3tok = S3TokenizerModel(init_s3tokenizer(keys[3], config.s3tokenizer),
+                                 config.s3tokenizer)
+        from .models.s3gen.xvector import init_campplus_params
+
+        s3gen_engine = S3GenEngine(
+            s3gen_params, config.s3gen,
+            campplus_params=init_campplus_params(keys[5], config.campplus),
+            s3tok_model=s3tok,
+        )
+        ve_params = init_voice_encoder(keys[4], config.voice_encoder)
+        return cls(config, t3_params=t3_params, cond_enc_params=cond_params,
+                   s3gen_engine=s3gen_engine, ve_params=ve_params,
+                   compute_dtype=compute_dtype)
+
+    @classmethod
+    def from_local(cls, ckpt_dir: Union[str, Path], config: Optional[Config] = None,
+                   compute_dtype=jnp.bfloat16) -> "ChatterboxTTS":
+        """Load the reference checkpoint layout from a directory:
+        `ve.safetensors`, `t3_cfg.safetensors` or `t3_mtl23ls_v2.safetensors`,
+        `s3gen.safetensors`, vocab JSON, optionally `Cangjie5_TC.json` and
+        `conds.pt` (reference `tts.py:88-215`)."""
+        from .models.s3gen.xvector import convert_campplus
+        from .models.s3tokenizer import convert_s3tokenizer
+        from .models.voice_encoder import convert_voice_encoder
+        from .utils.checkpoint import (
+            convert_cond_enc,
+            convert_flow,
+            convert_hift,
+            convert_t3,
+            load_safetensors,
+        )
+
+        ckpt_dir = Path(ckpt_dir)
+        mtl = (ckpt_dir / "t3_mtl23ls_v2.safetensors").exists()
+        if config is None:
+            t3cfg = T3Config.multilingual() if mtl else T3Config.english()
+            config = Config(t3=t3cfg)
+        t3_file = "t3_mtl23ls_v2.safetensors" if mtl else "t3_cfg.safetensors"
+        t3_sd = load_safetensors(str(ckpt_dir / t3_file))
+        s3_sd = load_safetensors(str(ckpt_dir / "s3gen.safetensors"))
+        ve_sd = load_safetensors(str(ckpt_dir / "ve.safetensors"))
+
+        t3_params = convert_t3(t3_sd, config.t3, compute_dtype)
+        cond_params = convert_cond_enc(t3_sd, config.t3)
+        s3gen_params = {
+            "flow": convert_flow(s3_sd, config.s3gen),
+            "hift": convert_hift(s3_sd, config.s3gen.hift),
+            "rand_noise": np.asarray(
+                jax.random.normal(jax.random.PRNGKey(0), (1, 80, 15000))),
+        }
+        campplus_params = convert_campplus(s3_sd, prefix="speaker_encoder.")
+        s3tok = S3TokenizerModel(
+            convert_s3tokenizer(s3_sd, config.s3tokenizer, prefix="tokenizer."),
+            config.s3tokenizer)
+        s3gen_engine = S3GenEngine(s3gen_params, config.s3gen,
+                                   campplus_params=campplus_params,
+                                   s3tok_model=s3tok)
+        ve_params = convert_voice_encoder(ve_sd, config.voice_encoder)
+
+        vocab_name = ("grapheme_mtl_merged_expanded_v1.json" if mtl
+                      else "tokenizer.json")
+        tokenizer = None
+        if (ckpt_dir / vocab_name).exists():
+            cangjie = ckpt_dir / "Cangjie5_TC.json"
+            tokenizer = SpeechTextTokenizer(
+                str(ckpt_dir / vocab_name),
+                cangjie_path=str(cangjie) if cangjie.exists() else None)
+        return cls(config, t3_params=t3_params, cond_enc_params=cond_params,
+                   s3gen_engine=s3gen_engine, ve_params=ve_params,
+                   tokenizer=tokenizer, compute_dtype=compute_dtype)
+
+    # ------------------------------------------------------------------ #
+    # conditioning
+    # ------------------------------------------------------------------ #
+
+    def get_supported_languages(self) -> dict:
+        if self.variant == "multilingual":
+            return dict(SUPPORTED_LANGUAGES)
+        return {"en": "English"}
+
+    def get_audio_conditionals(self, wav_path: Optional[str] = None) -> Conditionals:
+        """Compute (and cache, LRU-10 like the reference `tts.py:256`) the
+        full conditioning for a reference voice wav."""
+        key = str(wav_path)
+        if key in self._cond_cache:
+            return self._cond_cache[key]
+        if wav_path is None:
+            if self.default_conds is None:
+                raise ValueError("no audio prompt and no default conditionals")
+            conds = self.default_conds
+        else:
+            wav24, sr = read_wav(wav_path)
+            wav24 = resample(wav24, sr, S3GEN_SR)
+            wav16 = resample(wav24, S3GEN_SR, S3_SR)
+            conds = self.prepare_conditionals(wav24, wav16)
+        if len(self._cond_cache) >= 10:
+            self._cond_cache.pop(next(iter(self._cond_cache)))
+        self._cond_cache[key] = conds
+        return conds
+
+    def prepare_conditionals(self, wav24: np.ndarray, wav16: np.ndarray,
+                             exaggeration: float = 0.5) -> Conditionals:
+        cfg = self.t3cfg
+        ref = self.s3gen.embed_ref(wav24[: self.DEC_COND_LEN],
+                                   wav16[: 10 * S3_SR])
+        # T3 speech-cond prompt tokens (capped at 150, reference `tts.py:272-273`)
+        tokens, lens = self.s3gen.s3tok([wav16[: self.ENC_COND_LEN]],
+                                        max_len=cfg.speech_cond_prompt_len)
+        prompt_tokens = np.zeros((cfg.speech_cond_prompt_len,), np.int32)
+        n = min(int(lens[0]), cfg.speech_cond_prompt_len)
+        prompt_tokens[:n] = tokens[0, :n]
+
+        ve_embed = embeds_from_wavs(self.ve_params, [trim_silence(wav16)], S3_SR,
+                                    self.config.voice_encoder).mean(axis=0)
+
+        cond_emb = self._build_cond_emb(ve_embed, prompt_tokens, exaggeration)
+        return Conditionals(cond_emb=cond_emb, speaker_emb=ve_embed, ref=ref)
+
+    def _build_cond_emb(self, speaker_emb: np.ndarray, prompt_tokens: np.ndarray,
+                        exaggeration: float) -> np.ndarray:
+        prompt_emb = (self.t3_params["speech_emb"][jnp.asarray(prompt_tokens)]
+                      + self.t3_params["speech_pos_emb"][: len(prompt_tokens)])
+        cond = cond_enc_apply(
+            self.cond_enc_params, self.t3cfg,
+            jnp.asarray(speaker_emb, jnp.float32),
+            prompt_emb.astype(jnp.float32),
+            jnp.asarray(exaggeration, jnp.float32),
+        )
+        return np.asarray(cond, np.float32)
+
+    def update_exaggeration(self, conds: Conditionals, exaggeration: float) -> np.ndarray:
+        """Recompute only the emotion row (reference `tts.py:290-298`)."""
+        if exaggeration == 0.5:
+            return conds.cond_emb
+        cond = conds.cond_emb.copy()
+        w = np.asarray(self.cond_enc_params["emotion_adv_fc"]["w"], np.float32)
+        cond[-1] = exaggeration * w[0]
+        return cond
+
+    # ------------------------------------------------------------------ #
+    # generation
+    # ------------------------------------------------------------------ #
+
+    def generate(
+        self,
+        prompts: Union[str, Sequence[str]],
+        audio_prompt_path: Optional[str] = None,
+        conds: Optional[Conditionals] = None,
+        language_id: Optional[str] = "en",
+        exaggeration: float = 0.5,
+        temperature: float = 0.8,
+        top_p: float = 1.0,
+        min_p: float = 0.05,
+        repetition_penalty: float = 2.0,
+        cfg_scale: float = 0.5,
+        max_tokens: int = 1000,
+        diffusion_steps: int = 10,
+        seed: int = 0,
+    ) -> list[np.ndarray]:
+        """Synthesize; returns float32 wavs at 24 kHz."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        if language_id and language_id.lower() not in self.get_supported_languages():
+            supported = ", ".join(self.get_supported_languages())
+            raise ValueError(f"Unsupported language_id '{language_id}'. "
+                             f"Supported languages: {supported}")
+        if self.tokenizer is None:
+            raise RuntimeError("no tokenizer loaded (vocab JSON missing)")
+
+        if conds is None:
+            conds = self.get_audio_conditionals(audio_prompt_path)
+        cond_emb = self.update_exaggeration(conds, exaggeration)
+
+        sampling = SamplingConfig(
+            temperature=temperature, top_p=top_p, min_p=min_p,
+            repetition_penalty=repetition_penalty, max_tokens=max_tokens,
+            cfg_scale=cfg_scale,
+        )
+        requests = []
+        for text in prompts:
+            ids = np.asarray(
+                self.tokenizer.encode(
+                    punc_norm(text),
+                    language_id if self.variant == "multilingual" else None),
+                np.int32)
+            requests.append(T3Request(text_ids=ids, cond_emb=cond_emb,
+                                      sampling=sampling, max_new_tokens=max_tokens))
+
+        t0 = time.time()
+        results = self.engine.generate(requests, seed=seed)
+        t3_time = time.time() - t0
+
+        t0 = time.time()
+        wavs = []
+        for res in results:
+            toks = res.tokens
+            toks = toks[(toks >= 0) & (toks < self.config.s3gen.speech_vocab_size)]
+            if len(toks) == 0:
+                wavs.append(np.zeros(0, np.float32))
+                continue
+            wavs.append(self.s3gen.inference(toks, conds.ref,
+                                             n_timesteps=diffusion_steps, seed=seed))
+        s3_time = time.time() - t0
+        total_tokens = sum(len(r.tokens) for r in results)
+        self.metrics = {
+            "t3_time_s": round(t3_time, 3),
+            "s3gen_time_s": round(s3_time, 3),
+            "speech_tokens": total_tokens,
+            "tokens_per_s": round(total_tokens / max(t3_time, 1e-9), 1),
+            "audio_s": round(sum(len(w) for w in wavs) / self.SR, 2),
+        }
+        return wavs
