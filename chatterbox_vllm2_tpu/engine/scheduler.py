@@ -1,0 +1,268 @@
+"""Continuous-batching scheduler: slot-level admission over the decode loop.
+
+This is the TPU-native analog of vLLM's iteration-level scheduler (which the
+reference consumes implicitly through `LLM.generate`, reference
+`tts.py:445-465`; batch sizing heuristics `tts.py:145-147`).  Design:
+
+  * The engine state holds `max_batch_size` CFG *pair slots*.  A request is
+    admitted into a free slot by (a) running a jitted pair-prefill that
+    produces the pair's KV block, and (b) a jitted `admit` that scatters the
+    KV + per-slot state into the persistent DecodeState in place (donated).
+  * Decode runs in fixed-size jitted chunks over ALL slots; finished or empty
+    slots are masked by `done` and cost nothing extra (shapes are static).
+  * After each chunk the tiny `done`/`n_generated` vectors are pulled to host;
+    finished slots are harvested (tokens fetched, slot freed) and refilled
+    from the pending queue before the next chunk — requests join and leave
+    the batch mid-flight, which the reference cannot do outside vLLM.
+
+Unlike vLLM's chunked prefill (which the reference's model must contort
+around, reference `models/t3/t3.py:340-421,529-639`), prefill here is a
+single fused program per text-length bucket: conditioning embeddings are a
+first-class input and positions are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.t3.model import (
+    KVCache,
+    build_prefill_embeds,
+    cfg_combine,
+    prefill_attn_mask,
+    speech_logits,
+    t3_backbone,
+)
+from ..ops.sampling import SamplingState, sample
+from .engine import DecodeState, T3Engine, T3Request, T3Result
+
+
+class ContinuousEngine:
+    """Continuous-batching T3 engine: submit() / step() / run().
+
+    Wraps a `T3Engine` (reusing its jitted decode chunk) and adds slot-level
+    admission, so new requests start prefilling while older ones are still
+    decoding.
+    """
+
+    def __init__(self, engine: T3Engine):
+        self.engine = engine
+        self.config: Config = engine.config
+        self.t3cfg = engine.t3cfg
+        self.B = engine.B
+        self.S = engine.S
+        self.max_len = engine.max_len
+
+        self._pending: deque[tuple[str, T3Request]] = deque()
+        self._active: dict[int, tuple[str, T3Request, float]] = {}  # slot -> (id, req, t0)
+        self._results: dict[str, T3Result] = {}
+        self._ids = itertools.count()
+        self._seed = itertools.count(1)
+
+        self._prefill_pair = jax.jit(self._prefill_pair_impl)
+        self._admit = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3, 4))
+        self._state = self._empty_state()
+        # per-slot request parameters, device-resident alongside the state
+        self._sampling = SamplingState.broadcast(self.B)
+        self._cfg_scale = jnp.full((self.B,), 0.5, jnp.float32)
+        self._max_new = jnp.ones((self.B,), jnp.int32)
+        self._text_len = jnp.ones((self.B,), jnp.int32)
+
+    # ------------------------------------------------------------------ #
+    # jitted programs
+    # ------------------------------------------------------------------ #
+
+    def _empty_state(self) -> DecodeState:
+        cfg, B, S = self.t3cfg, self.B, self.S
+        return DecodeState(
+            kv=KVCache.zeros(cfg, S, self.max_len, self.engine._kv_dtype()),
+            lengths=jnp.zeros((S,), jnp.int32),
+            speech_pos=jnp.ones((B,), jnp.int32),
+            last_token=jnp.zeros((B,), jnp.int32),
+            prev_tokens=jnp.full((B, 2), -1, jnp.int32),
+            completed_at=jnp.full((B,), -1, jnp.int32),
+            seen=jnp.zeros((B, cfg.speech_vocab_size), bool),
+            done=jnp.ones((B,), bool),              # all slots free
+            stopped=jnp.zeros((B,), bool),
+            n_generated=jnp.zeros((B,), jnp.int32),
+            out_tokens=jnp.zeros((B, self.engine.max_out), jnp.int32),
+            key=jax.random.PRNGKey(0),
+        )
+
+    def _prefill_pair_impl(self, params, cond_emb, text_ids, text_len,
+                           sampling: SamplingState, cfg_scale, key):
+        """Prefill ONE request (a CFG pair) into a fresh pair-sized KV block.
+
+        cond_emb [1, 34, h]; text_ids [1, Tt]; text_len [1]; sampling fields
+        [1].  Returns (k, v) [L, 2, T, H, D], prefill_len [2], first token [1],
+        seen row [1, V].
+        """
+        cfg = self.t3cfg
+        embeds, positions, prefill_len = build_prefill_embeds(
+            params, cfg, cond_emb.astype(self.engine.compute_dtype),
+            text_ids, text_len)
+        T = embeds.shape[1]
+        kv = KVCache.zeros(cfg, 2, T, self.engine._kv_dtype())
+        mask = prefill_attn_mask(prefill_len, T, T)
+        hidden, kv = t3_backbone(
+            params, cfg, embeds, positions, kv,
+            jnp.zeros((2,), jnp.int32), mask, *self.engine._rope)
+        last = hidden[jnp.arange(2), prefill_len - 1]
+        logits = cfg_combine(
+            speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)
+        seen = jnp.zeros((1, cfg.speech_vocab_size), bool)
+        tok = sample(logits, sampling, seen, key)
+        seen = seen.at[0, tok[0]].set(True)
+        return kv.k, kv.v, prefill_len, tok, seen
+
+    def _admit_impl(self, state: DecodeState, sampling: SamplingState,
+                    cfg_scale, max_new, text_len, slot,
+                    new_k, new_v, prefill_len, tok, seen_row,
+                    req_sampling: SamplingState, req_cfg_scale, req_max_new,
+                    req_text_len, key):
+        """Scatter a prefilled pair into the persistent state at `slot`."""
+        row = 2 * slot
+        k = jax.lax.dynamic_update_slice(
+            state.kv.k, new_k.astype(state.kv.k.dtype), (0, row, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            state.kv.v, new_v.astype(state.kv.v.dtype), (0, row, 0, 0, 0))
+        first_is_stop = tok[0] == self.t3cfg.stop_speech_token
+        lengths = jax.lax.dynamic_update_slice(state.lengths, prefill_len, (row,))
+        state = state._replace(
+            kv=KVCache(k, v),
+            lengths=lengths,
+            speech_pos=state.speech_pos.at[slot].set(1),
+            last_token=state.last_token.at[slot].set(tok[0]),
+            prev_tokens=state.prev_tokens.at[slot].set(
+                jnp.full((2,), -1, jnp.int32)),
+            completed_at=state.completed_at.at[slot].set(-1),
+            seen=jax.lax.dynamic_update_slice(state.seen, seen_row, (slot, 0)),
+            done=state.done.at[slot].set(first_is_stop),
+            stopped=state.stopped.at[slot].set(first_is_stop),
+            n_generated=state.n_generated.at[slot].set(
+                jnp.where(first_is_stop, 0, 1)),
+            out_tokens=state.out_tokens.at[slot].set(
+                jnp.zeros((self.engine.max_out,), jnp.int32)
+                .at[0].set(jnp.where(first_is_stop, 0, tok[0]))),
+            key=key,
+        )
+        sampling = SamplingState(
+            *(arr.at[slot].set(new[0])
+              for arr, new in zip(sampling, req_sampling)))
+        cfg_scale = cfg_scale.at[slot].set(req_cfg_scale[0])
+        max_new = max_new.at[slot].set(req_max_new[0])
+        text_len = text_len.at[slot].set(req_text_len[0])
+        return state, sampling, cfg_scale, max_new, text_len
+
+    # ------------------------------------------------------------------ #
+    # host API
+    # ------------------------------------------------------------------ #
+
+    def submit(self, req: T3Request) -> str:
+        rid = req.request_id or f"req-{next(self._ids)}"
+        req.request_id = rid
+        self._pending.append((rid, req))
+        return rid
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self._pending or self._active)
+
+    def _free_slots(self, done_host: np.ndarray) -> list[int]:
+        return [i for i in range(self.B)
+                if bool(done_host[i]) and i not in self._active]
+
+    def _admit_one(self, slot: int, rid: str, req: T3Request) -> None:
+        cfg = self.t3cfg
+        L = len(req.text_ids)
+        Tt = self.engine._bucket_len(L)
+        text_ids = np.zeros((1, Tt), np.int32)
+        text_ids[0, :L] = req.text_ids
+        req_sampling = SamplingState.broadcast(
+            1, temperature=req.sampling.temperature, top_p=req.sampling.top_p,
+            min_p=req.sampling.min_p,
+            repetition_penalty=req.sampling.repetition_penalty)
+        key_p, key_s = jax.random.split(jax.random.PRNGKey(next(self._seed)))
+        kv_k, kv_v, prefill_len, tok, seen = self._prefill_pair(
+            self.engine.params,
+            jnp.asarray(req.cond_emb, jnp.float32)[None],
+            jnp.asarray(text_ids), jnp.asarray([L], jnp.int32),
+            req_sampling, jnp.asarray([req.sampling.cfg_scale], jnp.float32),
+            key_p)
+        (self._state, self._sampling, self._cfg_scale, self._max_new,
+         self._text_len) = self._admit(
+            self._state, self._sampling, self._cfg_scale, self._max_new,
+            self._text_len, jnp.asarray(slot, jnp.int32),
+            kv_k, kv_v, prefill_len, tok, seen,
+            req_sampling,
+            jnp.asarray([req.sampling.cfg_scale], jnp.float32),
+            jnp.asarray(
+                [min(req.max_new_tokens, req.sampling.max_tokens,
+                     self.max_len - (cfg.cond_seq_len + L + 1) - 1)],
+                jnp.int32),
+            jnp.asarray([L], jnp.int32),
+            key_s)
+        self._active[slot] = (rid, req, time.time())
+
+    def _harvest(self, done_host, n_gen_host, stopped_host, out_host=None):
+        finished = [s for s in self._active if bool(done_host[s])]
+        if finished and out_host is None:
+            out_host = np.asarray(jax.device_get(self._state.out_tokens))
+        for slot in finished:
+            rid, req, t0 = self._active.pop(slot)
+            n = int(n_gen_host[slot])
+            toks = out_host[slot, :n]
+            toks = toks[toks != self.t3cfg.stop_speech_token]
+            self._results[rid] = T3Result(
+                tokens=toks.astype(np.int32),
+                finished_by_stop=bool(stopped_host[slot]),
+                request_id=rid,
+                t3_time_s=time.time() - t0,
+            )
+
+    def step(self) -> list[T3Result]:
+        """Admit pending requests into free slots, run one decode chunk,
+        harvest finished requests.  Returns results completed this step."""
+        before = set(self._results)
+        done_host = np.array(jax.device_get(self._state.done))
+        for slot in self._free_slots(done_host):
+            if not self._pending:
+                break
+            rid, req = self._pending.popleft()
+            self._admit_one(slot, rid, req)
+            done_host[slot] = False
+
+        if self._active:
+            self._state = self.engine._decode_chunk(
+                self.engine.params, self._state, self._sampling,
+                self._cfg_scale, self._max_new, self._text_len,
+                num_steps=self.config.engine.decode_steps_per_dispatch)
+            done_host = np.asarray(jax.device_get(self._state.done))
+            n_gen = np.asarray(jax.device_get(self._state.n_generated))
+            stopped = np.asarray(jax.device_get(self._state.stopped))
+            self._harvest(done_host, n_gen, stopped)
+
+        new = [self._results[r] for r in self._results if r not in before]
+        return new
+
+    def run(self, requests, timeout_s: float = 600.0) -> list[T3Result]:
+        """Submit all requests and drive step() until every one completes.
+        Results are returned in submission order."""
+        rids = [self.submit(r) for r in requests]
+        t0 = time.time()
+        while self.has_work:
+            self.step()
+            if time.time() - t0 > timeout_s:
+                raise TimeoutError(
+                    f"continuous engine did not drain in {timeout_s}s "
+                    f"({len(self._active)} active, {len(self._pending)} pending)")
+        return [self._results.pop(r) for r in rids]
