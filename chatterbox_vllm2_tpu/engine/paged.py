@@ -1,0 +1,510 @@
+"""Paged-KV continuous engine: block tables + Pallas paged attention.
+
+The paged twin of `scheduler.ContinuousEngine` (dense slotted cache).  The
+KV cache is a pool of fixed-size pages shared by all streams; the native C++
+allocator (`chatterbox_vllm2_tpu/native`) owns the free list and per-stream
+block tables, and pages are reserved *per decode chunk* — a stream holds only
+the pages its current length needs, so long max_model_len no longer costs
+O(S * max_len) HBM (the reason vLLM exists; reference consumes this as
+PagedAttention, SURVEY.md §2.2).
+
+If a reservation fails (pool exhausted) the youngest active request is
+preempted — its pages are released and it is re-queued for a fresh prefill —
+matching vLLM's recompute-preemption policy.
+
+Decode attention runs in the Pallas kernel (`ops/paged_attention.py`),
+optionally over INT8 pages with per-(token, head) scales
+(`kv_cache_dtype="int8"`), quantized on append inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import time
+from collections import deque
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.t3.model import (
+    build_decode_embeds,
+    build_prefill_embeds,
+    cfg_combine,
+    KVCache,
+    make_rope_tables,
+    prefill_attn_mask,
+    speech_logits,
+    t3_backbone,
+)
+from ..ops.norm import rms_norm
+from ..ops.paged_attention import (
+    append_to_pages,
+    paged_attention_decode,
+    write_prefill_to_pages,
+)
+from ..ops.rotary import apply_rope
+from ..ops.sampling import SamplingState, sample
+from .engine import T3Request, T3Result, alignment_analyzer_logits
+
+
+class PagedKV(NamedTuple):
+    """Per-layer page pools.  k/v: [L, P, H, bs, D]; scales [L, P, H, bs]
+    (present only for INT8 pages); tables: [S, NB] int32 page ids."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scales: Optional[jnp.ndarray]
+    v_scales: Optional[jnp.ndarray]
+    tables: jnp.ndarray
+
+
+def paged_backbone_decode(
+    params: dict,
+    cfg,
+    x: jnp.ndarray,            # [S, 1, hidden]
+    positions: jnp.ndarray,    # [S, 1] int32
+    paged: PagedKV,
+    lengths: jnp.ndarray,      # [S] int32 — tokens already in cache
+    rope_cos, rope_sin,
+    *,
+    block_size: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, PagedKV]:
+    """One decode step over the paged cache.  Appends the new token's K/V to
+    each stream's current page, then runs the Pallas paged-attention kernel."""
+    S, T, h = x.shape
+    assert T == 1
+    nh, hd = cfg.num_heads, cfg.head_dim
+    quantized = paged.k_scales is not None
+
+    def layer(x, scanned):
+        if quantized:
+            lp, k_pool, v_pool, k_scl, v_scl = scanned
+        else:
+            lp, k_pool, v_pool = scanned
+            k_scl = v_scl = None
+        resid = x
+        y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        q = jnp.einsum("sth,hd->std", y, lp["q_proj"]).reshape(S, T, nh, hd)
+        k = jnp.einsum("sth,hd->std", y, lp["k_proj"]).reshape(S, T, cfg.num_kv_heads, hd)
+        v = jnp.einsum("sth,hd->std", y, lp["v_proj"]).reshape(S, T, cfg.num_kv_heads, hd)
+        q = apply_rope(q, rope_cos, rope_sin, positions)
+        k = apply_rope(k, rope_cos, rope_sin, positions)
+
+        k_pool, v_pool, k_scl, v_scl = append_to_pages(
+            k_pool, v_pool, k[:, 0], v[:, 0],
+            paged.tables, lengths, block_size=block_size,
+            k_scales=k_scl, v_scales=v_scl)
+        out = paged_attention_decode(
+            q[:, 0].astype(jnp.float32), k_pool, v_pool, paged.tables,
+            lengths + 1, block_size=block_size, sm_scale=hd ** -0.5,
+            k_scales=k_scl, v_scales=v_scl, interpret=interpret)
+        out = out.reshape(S, 1, nh * hd).astype(x.dtype)
+        x = resid + jnp.einsum("std,dh->sth", out, lp["o_proj"])
+
+        resid = x
+        y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+        gate = jnp.einsum("sth,hi->sti", y, lp["gate_proj"])
+        up = jnp.einsum("sth,hi->sti", y, lp["up_proj"])
+        y = jax.nn.silu(gate) * up
+        x = resid + jnp.einsum("sti,ih->sth", y, lp["down_proj"])
+        if quantized:
+            return x, (k_pool, v_pool, k_scl, v_scl)
+        return x, (k_pool, v_pool)
+
+    scanned = ((params["layers"], paged.k, paged.v, paged.k_scales, paged.v_scales)
+               if quantized else (params["layers"], paged.k, paged.v))
+    x, ys = jax.lax.scan(layer, x, scanned)
+    if quantized:
+        new_k, new_v, new_ks, new_vs = ys
+    else:
+        (new_k, new_v), new_ks, new_vs = ys, None, None
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, PagedKV(new_k, new_v, new_ks, new_vs, paged.tables)
+
+
+class PagedDecodeState(NamedTuple):
+    paged: PagedKV
+    lengths: jnp.ndarray        # [S]
+    speech_pos: jnp.ndarray     # [B]
+    last_token: jnp.ndarray     # [B]
+    prev_tokens: jnp.ndarray    # [B, 2]
+    completed_at: jnp.ndarray   # [B]
+    seen: jnp.ndarray           # [B, V]
+    done: jnp.ndarray           # [B]
+    stopped: jnp.ndarray        # [B]
+    n_generated: jnp.ndarray    # [B]
+    out_tokens: jnp.ndarray     # [B, max_out]
+    key: jax.Array
+
+
+class PagedContinuousEngine:
+    """Continuous batching over the paged cache.  Same host API as
+    `ContinuousEngine` (submit/step/run)."""
+
+    def __init__(self, config: Config, params: dict,
+                 compute_dtype=jnp.bfloat16, *, num_pages: Optional[int] = None,
+                 interpret: Optional[bool] = None):
+        from ..native import make_block_allocator
+
+        self.config = config
+        self.t3cfg = config.t3
+        self.params = params
+        self.compute_dtype = compute_dtype
+        ecfg = config.engine
+        self.B = ecfg.max_batch_size
+        self.S = 2 * self.B
+        self.max_len = ecfg.max_model_len
+        self.max_out = ecfg.max_model_len
+        self.bs = ecfg.kv_block_size
+        self.NB = -(-self.max_len // self.bs)
+        # default pool: 75% of the dense equivalent — paging's win is that
+        # streams share it by actual length, not worst case
+        self.P = num_pages or max(self.S * self.NB * 3 // 4, 2 * self.NB)
+        self.quantized = ecfg.kv_cache_dtype == "int8"
+        self.interpret = (jax.default_backend() == "cpu"
+                          if interpret is None else interpret)
+        self.alloc = make_block_allocator(self.P, self.S, self.NB)
+        cos, sin = make_rope_tables(self.t3cfg, self.max_len)
+        self._rope = (cos, sin)
+
+        self._decode_chunk = jax.jit(
+            self._decode_chunk_impl,
+            static_argnames=("num_steps",), donate_argnums=(1,))
+        self._prefill_pair = jax.jit(self._prefill_pair_impl)
+        self._admit = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3, 4))
+        self._set_tables = jax.jit(
+            lambda st, t: st._replace(paged=st.paged._replace(tables=t)),
+            donate_argnums=(0,))
+
+        self._state = self._empty_state()
+        self._sampling = SamplingState.broadcast(self.B)
+        self._cfg_scale = jnp.full((self.B,), 0.5, jnp.float32)
+        self._max_new = jnp.ones((self.B,), jnp.int32)
+        self._text_len = jnp.ones((self.B,), jnp.int32)
+
+        self._pending = deque()
+        self._active: dict[int, tuple[str, T3Request, float]] = {}
+        self._results: dict[str, T3Result] = {}
+        self._ids = itertools.count()
+        self._seed = itertools.count(1)
+
+    # ------------------------------------------------------------------ #
+
+    def _kv_dtype(self):
+        return jnp.int8 if self.quantized else jnp.bfloat16
+
+    def _empty_state(self) -> PagedDecodeState:
+        cfg, B, S = self.t3cfg, self.B, self.S
+        H, D = cfg.num_kv_heads, cfg.head_dim
+        L = cfg.num_layers
+        def pages():
+            return jnp.zeros((L, self.P, H, self.bs, D), self._kv_dtype())
+
+        def scales():
+            return (jnp.zeros((L, self.P, H, self.bs), jnp.float32)
+                    if self.quantized else None)
+
+        return PagedDecodeState(
+            paged=PagedKV(pages(), pages(), scales(), scales(),
+                          jnp.zeros((S, self.NB), jnp.int32)),
+            lengths=jnp.zeros((S,), jnp.int32),
+            speech_pos=jnp.ones((B,), jnp.int32),
+            last_token=jnp.zeros((B,), jnp.int32),
+            prev_tokens=jnp.full((B, 2), -1, jnp.int32),
+            completed_at=jnp.full((B,), -1, jnp.int32),
+            seen=jnp.zeros((B, cfg.speech_vocab_size), bool),
+            done=jnp.ones((B,), bool),
+            stopped=jnp.zeros((B,), bool),
+            n_generated=jnp.zeros((B,), jnp.int32),
+            out_tokens=jnp.zeros((B, self.max_out), jnp.int32),
+            key=jax.random.PRNGKey(0),
+        )
+
+    # ------------------------------------------------------------------ #
+    # jitted programs
+    # ------------------------------------------------------------------ #
+
+    def _prefill_pair_impl(self, params, cond_emb, text_ids, text_len,
+                           sampling, cfg_scale, key):
+        """Identical math to the dense pair prefill (prefill never reads the
+        cache — it IS the start of the sequence), returning the pair's K/V for
+        page scatter."""
+        cfg = self.t3cfg
+        embeds, positions, prefill_len = build_prefill_embeds(
+            params, cfg, cond_emb.astype(self.compute_dtype),
+            text_ids, text_len)
+        T = embeds.shape[1]
+        kv = KVCache.zeros(cfg, 2, T, jnp.bfloat16)
+        mask = prefill_attn_mask(prefill_len, T, T)
+        hidden, kv = t3_backbone(
+            params, cfg, embeds, positions, kv,
+            jnp.zeros((2,), jnp.int32), mask, *self._rope)
+        last = hidden[jnp.arange(2), prefill_len - 1]
+        logits = cfg_combine(
+            speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)
+        seen = jnp.zeros((1, cfg.speech_vocab_size), bool)
+        tok = sample(logits, sampling, seen, key)
+        seen = seen.at[0, tok[0]].set(True)
+        return kv.k, kv.v, prefill_len, tok, seen
+
+    def _admit_impl(self, state: PagedDecodeState, sampling, cfg_scale,
+                    max_new, text_len, slot, pair_tables,
+                    new_k, new_v, prefill_len, tok, seen_row,
+                    req_sampling, req_cfg_scale, req_max_new, req_text_len,
+                    key):
+        """Scatter the prefilled pair's K/V into its reserved pages and
+        install per-slot state."""
+        row = 2 * slot
+        paged = state.paged
+        # install the pair's block-table rows first so the scatter targets them
+        tables = jax.lax.dynamic_update_slice(paged.tables, pair_tables, (row, 0))
+
+        # scatter the pair's per-layer K/V blocks into the pools (scan over
+        # layers keeps peak memory at one layer's pool)
+        if self.quantized:
+            def body(_, xs):
+                k_pool, v_pool, k_scl, v_scl, k_l, v_l = xs
+                return None, write_prefill_to_pages(
+                    k_pool, v_pool, k_l, v_l, pair_tables,
+                    block_size=self.bs, k_scales=k_scl, v_scales=v_scl)
+            _, (k_pages, v_pages, k_scales, v_scales) = jax.lax.scan(
+                body, None,
+                (paged.k, paged.v, paged.k_scales, paged.v_scales,
+                 new_k, new_v))
+        else:
+            def body(_, xs):
+                k_pool, v_pool, k_l, v_l = xs
+                kp, vp, _, _ = write_prefill_to_pages(
+                    k_pool, v_pool, k_l, v_l, pair_tables, block_size=self.bs)
+                return None, (kp, vp)
+            _, (k_pages, v_pages) = jax.lax.scan(
+                body, None, (paged.k, paged.v, new_k, new_v))
+            k_scales = v_scales = None
+
+        first_is_stop = tok[0] == self.t3cfg.stop_speech_token
+        lengths = jax.lax.dynamic_update_slice(state.lengths, prefill_len, (row,))
+        state = state._replace(
+            paged=PagedKV(k_pages, v_pages, k_scales, v_scales, tables),
+            lengths=lengths,
+            speech_pos=state.speech_pos.at[slot].set(1),
+            last_token=state.last_token.at[slot].set(tok[0]),
+            prev_tokens=state.prev_tokens.at[slot].set(
+                jnp.full((2,), -1, jnp.int32)),
+            completed_at=state.completed_at.at[slot].set(-1),
+            seen=jax.lax.dynamic_update_slice(state.seen, seen_row, (slot, 0)),
+            done=state.done.at[slot].set(first_is_stop),
+            stopped=state.stopped.at[slot].set(first_is_stop),
+            n_generated=state.n_generated.at[slot].set(
+                jnp.where(first_is_stop, 0, 1)),
+            out_tokens=state.out_tokens.at[slot].set(
+                jnp.zeros((self.max_out,), jnp.int32)
+                .at[0].set(jnp.where(first_is_stop, 0, tok[0]))),
+            key=key,
+        )
+        sampling = SamplingState(
+            *(arr.at[slot].set(new[0])
+              for arr, new in zip(sampling, req_sampling)))
+        return (state, sampling,
+                cfg_scale.at[slot].set(req_cfg_scale[0]),
+                max_new.at[slot].set(req_max_new[0]),
+                text_len.at[slot].set(req_text_len[0]))
+
+    def _decode_step(self, params, sampling, cfg_scale, max_new, text_len,
+                     state: PagedDecodeState, _):
+        cfg = self.t3cfg
+        tokens_s = jnp.repeat(state.last_token, 2)
+        pos_s = jnp.repeat(state.speech_pos, 2)
+        embeds = build_decode_embeds(params, cfg, tokens_s, pos_s,
+                                     self.compute_dtype)
+        hidden, paged = paged_backbone_decode(
+            params, cfg, embeds, state.lengths[:, None].astype(jnp.int32),
+            state.paged, state.lengths, *self._rope,
+            block_size=self.bs, interpret=self.interpret)
+        logits = cfg_combine(
+            speech_logits(params, hidden[:, 0, :], cfg.speech_vocab_size),
+            cfg_scale)
+        completed_at = state.completed_at
+        if self.config.engine.enable_analyzer:
+            logits, completed_at = alignment_analyzer_logits(
+                logits, state, text_len, cfg.stop_speech_token)
+        key, sub = jax.random.split(state.key)
+        tok = sample(logits, sampling, state.seen, sub)
+
+        active = ~state.done
+        tok = jnp.where(active, tok, cfg.stop_speech_token)
+        seen = state.seen.at[jnp.arange(self.B), tok].set(
+            state.seen[jnp.arange(self.B), tok] | active)
+        out = state.out_tokens.at[jnp.arange(self.B), state.n_generated].set(
+            jnp.where(active, tok,
+                      state.out_tokens[jnp.arange(self.B), state.n_generated]))
+        n_gen = state.n_generated + active.astype(jnp.int32)
+        hit_stop = active & (tok == cfg.stop_speech_token)
+        done = state.done | hit_stop | (n_gen >= max_new)
+        lengths = state.lengths + jnp.repeat(active, 2).astype(jnp.int32)
+        speech_pos = state.speech_pos + active.astype(jnp.int32)
+        prev = jnp.where(active[:, None],
+                         jnp.stack([state.prev_tokens[:, 1], state.last_token],
+                                   axis=1),
+                         state.prev_tokens)
+        return PagedDecodeState(
+            paged=paged, lengths=lengths, speech_pos=speech_pos,
+            last_token=tok, prev_tokens=prev, completed_at=completed_at,
+            seen=seen, done=done, stopped=state.stopped | hit_stop,
+            n_generated=n_gen, out_tokens=out, key=key), None
+
+    def _decode_chunk_impl(self, params, state, sampling, cfg_scale, max_new,
+                           text_len, num_steps: int):
+        step = functools.partial(self._decode_step, params, sampling,
+                                 cfg_scale, max_new, text_len)
+        state, _ = jax.lax.scan(step, state, None, length=num_steps)
+        return state
+
+    # ------------------------------------------------------------------ #
+    # host scheduling (block reservation + preemption)
+    # ------------------------------------------------------------------ #
+
+    def submit(self, req: T3Request) -> str:
+        rid = req.request_id or f"req-{next(self._ids)}"
+        req.request_id = rid
+        self._pending.append((rid, req))
+        return rid
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self._pending or self._active)
+
+    def _bucket_len(self, n: int) -> int:
+        for b in self.config.engine.prefill_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"text length {n} exceeds largest prefill bucket")
+
+    def _reserve_for_chunk(self, lengths_host: np.ndarray, steps: int) -> bool:
+        """Ensure every active stream has pages for `steps` more tokens.
+        On pool exhaustion, preempt the youngest request.  Returns True if
+        the tables changed (device copy needed)."""
+        changed = False
+        while True:
+            ok = True
+            for slot in list(self._active):
+                need = -(-(int(lengths_host[2 * slot]) + steps) // self.bs)
+                need = min(need, self.NB)
+                for row in (2 * slot, 2 * slot + 1):
+                    if self.alloc.seq_num_blocks(row) < need:
+                        if not self.alloc.reserve(row, need):
+                            ok = False
+                            break
+                        changed = True
+                if not ok:
+                    break
+            if ok:
+                return changed
+            # preempt the youngest active request (vLLM recompute policy)
+            victim = max(self._active, key=lambda s: self._active[s][2])
+            rid, req, _ = self._active.pop(victim)
+            for row in (2 * victim, 2 * victim + 1):
+                self.alloc.release(row)
+            self._pending.appendleft((rid, req))
+            # mark slot done on device so it stops decoding
+            self._state = self._state._replace(
+                done=self._state.done.at[victim].set(True))
+            changed = True
+
+    def _admit_one(self, slot: int, rid: str, req: T3Request) -> bool:
+        cfg = self.t3cfg
+        L = len(req.text_ids)
+        Tt = self._bucket_len(L)
+        T = cfg.cond_seq_len + Tt + 1
+        nb0 = -(-T // self.bs)
+        rows = (2 * slot, 2 * slot + 1)
+        for row in rows:
+            if not self.alloc.reserve(row, nb0):
+                for r in rows:
+                    self.alloc.release(r)
+                return False
+        pair_tables = np.stack([np.maximum(self.alloc.table(r), 0)
+                                for r in rows])
+
+        text_ids = np.zeros((1, Tt), np.int32)
+        text_ids[0, :L] = req.text_ids
+        req_sampling = SamplingState.broadcast(
+            1, temperature=req.sampling.temperature, top_p=req.sampling.top_p,
+            min_p=req.sampling.min_p,
+            repetition_penalty=req.sampling.repetition_penalty)
+        key_p, key_s = jax.random.split(jax.random.PRNGKey(next(self._seed)))
+        kv_k, kv_v, prefill_len, tok, seen = self._prefill_pair(
+            self.params, jnp.asarray(req.cond_emb, jnp.float32)[None],
+            jnp.asarray(text_ids), jnp.asarray([L], jnp.int32),
+            req_sampling, jnp.asarray([req.sampling.cfg_scale], jnp.float32),
+            key_p)
+        (self._state, self._sampling, self._cfg_scale, self._max_new,
+         self._text_len) = self._admit(
+            self._state, self._sampling, self._cfg_scale, self._max_new,
+            self._text_len, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(pair_tables),
+            kv_k, kv_v, prefill_len, tok, seen,
+            req_sampling,
+            jnp.asarray([req.sampling.cfg_scale], jnp.float32),
+            jnp.asarray([min(req.max_new_tokens, req.sampling.max_tokens,
+                             self.max_len - T - 1)], jnp.int32),
+            jnp.asarray([L], jnp.int32), key_s)
+        self._active[slot] = (rid, req, time.time())
+        return True
+
+    def step(self) -> list[T3Result]:
+        before = set(self._results)
+        done_host = np.array(jax.device_get(self._state.done))
+        for slot in range(self.B):
+            if not self._pending:
+                break
+            if bool(done_host[slot]) and slot not in self._active:
+                rid, req = self._pending.popleft()
+                if self._admit_one(slot, rid, req):
+                    done_host[slot] = False
+                else:
+                    self._pending.appendleft((rid, req))
+                    break
+
+        if self._active:
+            steps = self.config.engine.decode_steps_per_dispatch
+            lengths_host = np.asarray(jax.device_get(self._state.lengths))
+            if self._reserve_for_chunk(lengths_host, steps):
+                tables = np.maximum(self.alloc.full_table(), 0)
+                self._state = self._set_tables(
+                    self._state, jnp.asarray(tables))
+            self._state = self._decode_chunk(
+                self.params, self._state, self._sampling, self._cfg_scale,
+                self._max_new, self._text_len, num_steps=steps)
+            done_host = np.asarray(jax.device_get(self._state.done))
+            n_gen = np.asarray(jax.device_get(self._state.n_generated))
+            stopped = np.asarray(jax.device_get(self._state.stopped))
+            finished = [s for s in self._active if bool(done_host[s])]
+            if finished:
+                out_host = np.asarray(jax.device_get(self._state.out_tokens))
+                for slot in finished:
+                    rid, req, t0 = self._active.pop(slot)
+                    for row in (2 * slot, 2 * slot + 1):
+                        self.alloc.release(row)
+                    n = int(n_gen[slot])
+                    toks = out_host[slot, :n]
+                    toks = toks[toks != self.t3cfg.stop_speech_token]
+                    self._results[rid] = T3Result(
+                        tokens=toks.astype(np.int32),
+                        finished_by_stop=bool(stopped[slot]),
+                        request_id=rid, t3_time_s=time.time() - t0)
+
+        return [self._results[r] for r in self._results if r not in before]
+
+    def run(self, requests, timeout_s: float = 600.0) -> list[T3Result]:
+        rids = [self.submit(r) for r in requests]
+        t0 = time.time()
+        while self.has_work:
+            self.step()
+            if time.time() - t0 > timeout_s:
+                raise TimeoutError("paged engine did not drain")
+        return [self._results.pop(r) for r in rids]

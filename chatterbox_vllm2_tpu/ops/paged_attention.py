@@ -1,0 +1,265 @@
+"""Pallas paged attention for the T3 decode step.
+
+TPU-native replacement for vLLM's CUDA `paged_attention_v1/v2` +
+`reshape_and_cache` kernels (consumed implicitly by the reference, SURVEY.md
+§2.2).  Pages live in HBM as [num_pages, heads, block_size, head_dim]; each
+stream reads its pages through a block table (scalar-prefetched so the DMA
+address is known before the kernel body runs) with flash-style online softmax
+across pages.
+
+Block tables are produced by the native C++ allocator
+(`chatterbox_vllm2_tpu/native`).  Only the tokens below `lengths[s]` are
+attended; fully-invalid trailing pages are skipped by clamping the page index
+(no extra DMA) and predicating the compute with `pl.when`.
+
+Optionally the pages are INT8 with one scale per (page, head, token):
+quantize-on-append, dequantized inside this kernel (the INT8-KV design from
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(
+    # scalar prefetch
+    tables_ref,     # [S, NB] int32 (SMEM)
+    lengths_ref,    # [S] int32 (SMEM)
+    # inputs
+    q_ref,          # [1, H, D]
+    k_page_ref,     # [1, H, bs, D] (kv dtype)
+    v_page_ref,     # [1, H, bs, D]
+    k_scale_ref,    # [1, H, bs] f32 or None
+    v_scale_ref,    # [1, H, bs] f32 or None
+    # output
+    o_ref,          # [1, H, D] f32
+    # scratch
+    m_ref,          # [H, 1] f32
+    l_ref,          # [H, 1] f32
+    acc_ref,        # [H, D] f32
+    *,
+    block_size: int,
+    scale: float,
+):
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
+    length = lengths_ref[s]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j * block_size < length)
+    def _():
+        q = q_ref[0].astype(jnp.float32)                    # [H, D]
+        k = k_page_ref[0].astype(jnp.float32)               # [H, bs, D]
+        v = v_page_ref[0].astype(jnp.float32)
+        if k_scale_ref is not None:
+            k = k * k_scale_ref[0][:, :, None]
+            v = v * v_scale_ref[0][:, :, None]
+        # scores[h, b] = sum_d q[h, d] * k[h, b, d]
+        scores = jax.lax.dot_general(
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :] * scale                                  # [H, bs]
+        valid = (jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                 + j * block_size) < length
+        scores = jnp.where(valid, scores, -1e30)
+
+        m_prev, l_prev = m_ref[:], l_ref[:]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)     # [H, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)                          # [H, bs]
+        l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:] = m_new
+        # acc[h, d] = alpha * acc + sum_b p[h, b] * v[h, b, d]
+        pv = jax.lax.dot_general(
+            p[:, None, :], v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]                                           # [H, D]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(j == nb - 1)
+    def _():
+        o_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+
+
+def _page_index(tables_ref, lengths_ref, s, j, block_size):
+    """Page to fetch for (stream s, logical block j); clamped to the last
+    valid block so skipped grid steps re-use the resident page (no DMA)."""
+    last = jnp.maximum(lengths_ref[s] - 1, 0) // block_size
+    return tables_ref[s, jnp.minimum(j, last)]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "sm_scale", "interpret"),
+)
+def paged_attention_decode(
+    q: jnp.ndarray,            # [S, H, D] — post-RoPE query of the new token
+    k_pages: jnp.ndarray,      # [P, H, bs, D]
+    v_pages: jnp.ndarray,      # [P, H, bs, D]
+    block_tables: jnp.ndarray, # [S, NB] int32
+    lengths: jnp.ndarray,      # [S] int32 (valid tokens incl. the new one)
+    *,
+    block_size: int,
+    sm_scale: float,
+    k_scales: jnp.ndarray | None = None,   # [P, H, bs] f32 for INT8 pages
+    v_scales: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [S, H, D] f32 attention output."""
+    S, H, D = q.shape
+    NB = block_tables.shape[1]
+    # NOTE: with PrefetchScalarGridSpec the index_map receives the
+    # grid indices first, then the scalar-prefetch refs: (s, j, tables, lengths).
+    idx = functools.partial(_page_index, block_size=block_size)
+
+    in_specs = [
+        pl.BlockSpec((1, H, D), lambda s, j, t, l: (s, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, block_size, D),
+                     lambda s, j, t, l: (idx(t, l, s, j), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H, block_size, D),
+                     lambda s, j, t, l: (idx(t, l, s, j), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k_pages, v_pages]
+    quantized = k_scales is not None
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, H, block_size),
+                         lambda s, j, t, l: (idx(t, l, s, j), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, block_size),
+                         lambda s, j, t, l: (idx(t, l, s, j), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [k_scales, v_scales]
+        kernel = functools.partial(
+            _attn_kernel, block_size=block_size, scale=sm_scale)
+    else:
+        def kernel(tables_ref, lengths_ref, q_ref, k_ref, v_ref, o_ref,
+                   m_ref, l_ref, acc_ref):
+            _attn_kernel(tables_ref, lengths_ref, q_ref, k_ref, v_ref,
+                         None, None, o_ref, m_ref, l_ref, acc_ref,
+                         block_size=block_size, scale=sm_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S, NB),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, H, D), lambda s, j, t, l: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((S, H, D), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(block_tables, lengths, *args)
+
+
+# --------------------------------------------------------------------------- #
+# Cache maintenance (the analog of vLLM's reshape_and_cache)
+# --------------------------------------------------------------------------- #
+
+
+def append_to_pages(
+    k_pages: jnp.ndarray,       # [P, H, bs, D]
+    v_pages: jnp.ndarray,
+    k_new: jnp.ndarray,         # [S, H, D]
+    v_new: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [S, NB]
+    positions: jnp.ndarray,     # [S] int32 — token index being written
+    *,
+    block_size: int,
+    k_scales: jnp.ndarray | None = None,   # [P, H, bs]
+    v_scales: jnp.ndarray | None = None,
+):
+    """Scatter one new token's K/V per stream into its page.  With scale
+    buffers present the pages are INT8: quantize per (token, head) on append."""
+    S = k_new.shape[0]
+    page = block_tables[jnp.arange(S), positions // block_size]   # [S]
+    off = positions % block_size                                  # [S]
+
+    def quant(x):   # [S, H, D] -> int8 values, [S, H] scales
+        amax = jnp.max(jnp.abs(x), axis=-1)
+        scl = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(x / scl[..., None]), -127, 127).astype(jnp.int8)
+        return q, scl
+
+    if k_scales is not None:
+        k_q, k_s = quant(k_new.astype(jnp.float32))
+        v_q, v_s = quant(v_new.astype(jnp.float32))
+        k_pages = k_pages.at[page, :, off, :].set(k_q)
+        v_pages = v_pages.at[page, :, off, :].set(v_q)
+        k_scales = k_scales.at[page, :, off].set(k_s)
+        v_scales = v_scales.at[page, :, off].set(v_s)
+        return k_pages, v_pages, k_scales, v_scales
+
+    k_pages = k_pages.at[page, :, off, :].set(k_new.astype(k_pages.dtype))
+    v_pages = v_pages.at[page, :, off, :].set(v_new.astype(v_pages.dtype))
+    return k_pages, v_pages, None, None
+
+
+def write_prefill_to_pages(
+    k_pages: jnp.ndarray,       # [P, H, bs, D]
+    v_pages: jnp.ndarray,
+    k_full: jnp.ndarray,        # [S, T, H, D] — prefill K (T <= NB*bs)
+    v_full: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [S, NB]
+    *,
+    block_size: int,
+    k_scales: jnp.ndarray | None = None,
+    v_scales: jnp.ndarray | None = None,
+):
+    """Scatter a whole prefill block into pages (padding tokens land in the
+    reserved pages and are masked by `lengths` at read time)."""
+    S, T, H, D = k_full.shape
+    nb = -(-T // block_size)
+    pad = nb * block_size - T
+    def to_blocks(x):
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return x.reshape(S, nb, block_size, H, D).transpose(0, 1, 3, 2, 4)
+    pages = block_tables[:, :nb].reshape(-1)                 # [S*nb]
+
+    def quant(x):   # [S, nb, H, bs, D]
+        amax = jnp.max(jnp.abs(x), axis=-1)
+        scl = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(x / scl[..., None]), -127, 127).astype(jnp.int8)
+        return q, scl
+
+    kb, vb = to_blocks(k_full), to_blocks(v_full)
+    if k_scales is not None:
+        k_q, k_s = quant(kb.astype(jnp.float32))
+        v_q, v_s = quant(vb.astype(jnp.float32))
+        k_pages = k_pages.at[pages].set(k_q.reshape(-1, H, block_size, D))
+        v_pages = v_pages.at[pages].set(v_q.reshape(-1, H, block_size, D))
+        k_scales = k_scales.at[pages].set(k_s.reshape(-1, H, block_size))
+        v_scales = v_scales.at[pages].set(v_s.reshape(-1, H, block_size))
+        return k_pages, v_pages, k_scales, v_scales
+
+    k_pages = k_pages.at[pages].set(
+        kb.reshape(-1, H, block_size, D).astype(k_pages.dtype))
+    v_pages = v_pages.at[pages].set(
+        vb.reshape(-1, H, block_size, D).astype(v_pages.dtype))
+    return k_pages, v_pages, None, None
