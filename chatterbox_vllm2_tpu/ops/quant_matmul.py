@@ -62,13 +62,16 @@ def quantize(w, bits: int = 4, group_size: int = 128) -> QuantLinear:
     if bits == 4:
         q = q.reshape(K, N).astype(np.uint8)
         packed = (q[0::2] | (q[1::2] << 4)).astype(np.uint8)   # [K//2, N]
+        stored_zero = zero[:, 0, :]
     else:
-        packed = (q.reshape(K, N) - 128).astype(np.int8)       # re-biased
-        zero = zero + 128.0
+        # codes re-biased into int8 range: stored = q - 128, so the zero
+        # point shifts by the same 128 to keep (stored - z) * s == (q - zero) * s
+        packed = (q.reshape(K, N) - 128).astype(np.int8)
+        stored_zero = zero[:, 0, :] - 128.0
     return QuantLinear(
         packed=jnp.asarray(packed),
         scales=jnp.asarray(scale[:, 0, :]),
-        zeros=jnp.asarray(zero[:, 0, :] if bits == 4 else zero[:, 0, :] - 128.0),
+        zeros=jnp.asarray(stored_zero),
         bits=bits,
         group_size=group_size,
     )

@@ -1,0 +1,250 @@
+"""TTS service: voice registry + queued, micro-batched synthesis.
+
+The reference handles one request at a time (its async route awaits a
+blocking `model.generate`; `api_server.py:269-276`), so concurrent clients
+serialize.  Here HTTP threads enqueue jobs and a single worker drains the
+queue in micro-batches of up to `max_batch_size`, so concurrent requests ride
+one CFG-paired engine step — continuous batching at the serving layer, which
+is exactly the workload the engine's slot scheduler was built for.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..config import SamplingConfig
+from ..engine import T3Request
+from ..frontend.audio import encode_audio
+from ..frontend.text import detect_language, punc_norm
+from .schema import TTSRequest
+
+# Reference `api_server.py:54-72`: all six OpenAI preset voices map to one
+# bundled reference wav.  Here presets resolve against CHATTERBOX_VOICE_DIR
+# (<voice>.wav), falling back to CHATTERBOX_VOICE_WAV, falling back to the
+# model's built-in default conditioning.
+OPENAI_VOICES = ("alloy", "echo", "fable", "onyx", "nova", "shimmer")
+
+
+class VoiceRegistry:
+    """voice/preset/language-code -> reference wav path (or None = default)."""
+
+    def __init__(self, voice_dir: Optional[str] = None,
+                 default_wav: Optional[str] = None,
+                 overrides: Optional[dict] = None):
+        self.voice_dir = Path(voice_dir) if voice_dir else None
+        self.default_wav = default_wav
+        self.overrides = dict(overrides or {})
+
+    @classmethod
+    def from_env(cls) -> "VoiceRegistry":
+        return cls(voice_dir=os.environ.get("CHATTERBOX_VOICE_DIR"),
+                   default_wav=os.environ.get("CHATTERBOX_VOICE_WAV"))
+
+    def get_voice_reference(self, voice: str) -> Optional[str]:
+        """Reference `api_server.py:74-93`: preset -> wav path if it exists."""
+        if voice in self.overrides:
+            p = self.overrides[voice]
+            return p if p and Path(p).exists() else None
+        if self.voice_dir is not None:
+            for ext in (".wav", ".flac", ".mp3"):
+                p = self.voice_dir / f"{voice}{ext}"
+                if p.exists():
+                    return str(p)
+        if self.default_wav and Path(self.default_wav).exists():
+            return self.default_wav
+        return None
+
+
+@dataclass
+class _Job:
+    request: TTSRequest
+    language_id: str
+    wav_path: Optional[str]
+    done: threading.Event = field(default_factory=threading.Event)
+    audio: Optional[bytes] = None
+    media_type: str = "audio/wav"
+    metrics: dict = field(default_factory=dict)
+    error: Optional[Exception] = None
+
+
+class TTSService:
+    """Owns the model, the voice registry, the job queue, and metrics."""
+
+    def __init__(self, model, voices: Optional[VoiceRegistry] = None,
+                 batch_window_ms: float = 8.0):
+        self.model = model
+        self.voices = voices or VoiceRegistry.from_env()
+        self.batch_window_s = batch_window_ms / 1000.0
+        self._queue: "queue.Queue[_Job]" = queue.Queue()
+        self._stop = threading.Event()
+        self._counters = {
+            "requests_total": 0, "errors_total": 0,
+            "speech_tokens_total": 0, "audio_seconds_total": 0.0,
+            "t3_seconds_total": 0.0, "s3gen_seconds_total": 0.0,
+        }
+        self._counters_lock = threading.Lock()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="tts-service-worker")
+        self._worker.start()
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+
+    def resolve_language(self, req: TTSRequest) -> str:
+        """explicit -> voice-derived -> text heuristics -> 'en'
+        (reference `api_server.py:242-249`)."""
+        supported = self.model.get_supported_languages()
+        lang = req.language_id
+        if not lang and req.voice in supported:
+            lang = req.voice  # voice given as a language code
+        if not lang:
+            lang = detect_language(req.input, supported=supported.keys(),
+                                   default="en")
+        lang = lang.lower()
+        if lang not in supported:
+            raise ValueError(
+                f"Unsupported language '{lang}'. "
+                f"Supported: {', '.join(supported)}")
+        return lang
+
+    def synthesize(self, req: TTSRequest,
+                   timeout: Optional[float] = None) -> tuple[bytes, str, dict]:
+        """Blocking entry used by HTTP threads; jobs batch across callers."""
+        job = _Job(request=req, language_id=self.resolve_language(req),
+                   wav_path=self.voices.get_voice_reference(req.voice))
+        self._queue.put(job)
+        if not job.done.wait(timeout):
+            raise TimeoutError("synthesis timed out")
+        if job.error is not None:
+            with self._counters_lock:
+                self._counters["errors_total"] += 1
+            raise job.error
+        return job.audio, job.media_type, job.metrics
+
+    def counters(self) -> dict:
+        with self._counters_lock:
+            return dict(self._counters)
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._queue.put(None)  # wake the worker
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------------ #
+    # worker
+    # ------------------------------------------------------------------ #
+
+    def _drain_batch(self) -> list[_Job]:
+        job = self._queue.get()
+        if job is None:
+            return []
+        jobs = [job]
+        limit = self.model.config.engine.max_batch_size
+        deadline = time.monotonic() + self.batch_window_s
+        while len(jobs) < limit:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            jobs.append(nxt)
+        return jobs
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            jobs = self._drain_batch()
+            if not jobs:
+                continue
+            try:
+                self._process(jobs)
+            except Exception as e:  # engine-level failure fails the batch
+                for j in jobs:
+                    if j.error is None and j.audio is None:
+                        j.error = e
+                        j.done.set()
+
+    def _process(self, jobs: list[_Job]) -> None:
+        model = self.model
+        t0 = time.time()
+        requests, conds_list, live = [], [], []
+        for j in jobs:
+            try:
+                conds = model.get_audio_conditionals(j.wav_path)
+                cond_emb = model.update_exaggeration(conds,
+                                                     j.request.exaggeration)
+                ids = np.asarray(
+                    model.tokenizer.encode(
+                        punc_norm(j.request.input),
+                        j.language_id if model.variant == "multilingual"
+                        else None),
+                    np.int32)
+                sampling = SamplingConfig(
+                    temperature=j.request.temperature,
+                    top_p=j.request.top_p, min_p=j.request.min_p,
+                    repetition_penalty=j.request.repetition_penalty,
+                    max_tokens=j.request.max_tokens,
+                    cfg_scale=j.request.cfg_scale,
+                )
+                requests.append(T3Request(
+                    text_ids=ids, cond_emb=cond_emb, sampling=sampling,
+                    max_new_tokens=j.request.max_tokens))
+                conds_list.append(conds)
+                live.append(j)
+            except Exception as e:  # per-job prep failure: fail only that job
+                j.error = e
+                j.done.set()
+        if not live:
+            return
+
+        results = model.engine.generate(requests,
+                                        seed=live[0].request.seed)
+        t3_time = time.time() - t0
+
+        vocab = model.config.s3gen.speech_vocab_size
+        total_tokens = 0
+        for j, conds, res in zip(live, conds_list, results):
+            s0 = time.time()
+            try:
+                toks = res.tokens
+                toks = toks[(toks >= 0) & (toks < vocab)]
+                total_tokens += len(toks)
+                wav = (model.s3gen.inference(
+                           toks, conds.ref,
+                           n_timesteps=j.request.diffusion_steps,
+                           seed=j.request.seed)
+                       if len(toks) else np.zeros(0, np.float32))
+                j.audio, j.media_type = encode_audio(
+                    wav, model.SR, j.request.response_format)
+                s3_time = time.time() - s0
+                j.metrics = {
+                    "speech_tokens": int(len(toks)),
+                    "t3_time_s": round(t3_time, 3),
+                    "s3gen_time_s": round(s3_time, 3),
+                    "audio_s": round(len(wav) / model.SR, 3),
+                    "batch_size": len(live),
+                    "language": j.language_id,
+                }
+                with self._counters_lock:
+                    self._counters["requests_total"] += 1
+                    self._counters["speech_tokens_total"] += int(len(toks))
+                    self._counters["audio_seconds_total"] += len(wav) / model.SR
+                    self._counters["s3gen_seconds_total"] += s3_time
+            except Exception as e:
+                j.error = e
+            finally:
+                j.done.set()
+        with self._counters_lock:
+            self._counters["t3_seconds_total"] += t3_time
