@@ -33,6 +33,9 @@ class _Handler(BaseHTTPRequestHandler):
     service: Optional[TTSService] = None
     model_type = "multilingual"
     quiet = False
+    # default synthesis deadline; a wedged engine returns 504 instead of
+    # pinning handler threads forever (CHATTERBOX_REQUEST_TIMEOUT_S)
+    synthesis_timeout_s: float = 600.0
 
     def log_message(self, fmt, *args):
         if not self.quiet:
@@ -95,23 +98,57 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._error(404, "Not Found")
 
+    # Reject bodies past this size before buffering them (the reference caps
+    # input at 4096 chars via pydantic, `api_server.py:34`; this guards the
+    # transport itself).
+    max_body_bytes = 1 << 20
+
+    def _drain_body(self) -> None:
+        """Consume any unread request body so HTTP/1.1 keep-alive connections
+        don't parse leftover bytes as the next request line."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            length = 0
+        remaining = min(length, self.max_body_bytes)
+        while remaining > 0:
+            chunk = self.rfile.read(min(remaining, 65536))
+            if not chunk:
+                break
+            remaining -= len(chunk)
+
     def do_POST(self) -> None:
         if self.path != "/v1/audio/speech":
+            self._drain_body()
             self._error(404, "Not Found")
             return
         if self.service is None:
+            self._drain_body()
             self._error(503, "Model not loaded")
             return
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(length) or b"{}")
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._error(400, "invalid Content-Length")
+                self.close_connection = True
+                return
+            if length > self.max_body_bytes:
+                self._error(413, "request body too large")
+                self.close_connection = True
+                return
+            raw = self.rfile.read(length)
+            try:
+                body = json.loads(raw or b"{}")
+            except json.JSONDecodeError:
+                self._error(400, "request body must be valid JSON")
+                return
             req = parse_tts_request(body)
-            audio, media_type, _metrics = self.service.synthesize(req)
+            audio, media_type, _metrics = self.service.synthesize(
+                req, timeout=self.synthesis_timeout_s)
             self._send(200, audio, media_type)
         except (ValidationError, ValueError) as e:
             self._error(400, str(e))
-        except json.JSONDecodeError:
-            self._error(400, "request body must be valid JSON")
         except TimeoutError as e:
             self._error(504, str(e))
         except Exception as e:
@@ -120,9 +157,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 def create_server(service: TTSService, host: str = "0.0.0.0",
                   port: int = 8000, *, model_type: str = "multilingual",
-                  quiet: bool = False) -> ThreadingHTTPServer:
+                  quiet: bool = False,
+                  synthesis_timeout_s: Optional[float] = None) -> ThreadingHTTPServer:
+    if synthesis_timeout_s is None:
+        synthesis_timeout_s = float(
+            os.environ.get("CHATTERBOX_REQUEST_TIMEOUT_S", 600.0))
     handler = type("Handler", (_Handler,), {
-        "service": service, "model_type": model_type, "quiet": quiet})
+        "service": service, "model_type": model_type, "quiet": quiet,
+        "synthesis_timeout_s": synthesis_timeout_s})
     return ThreadingHTTPServer((host, port), handler)
 
 

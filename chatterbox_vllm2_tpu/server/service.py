@@ -138,6 +138,15 @@ class TTSService:
         self._stop.set()
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        # fail anything still queued so no waiter hangs on an unset event
+        while True:
+            try:
+                job = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if job is not None and not job.done.is_set():
+                job.error = RuntimeError("service shut down")
+                job.done.set()
 
     # ------------------------------------------------------------------ #
     # worker
