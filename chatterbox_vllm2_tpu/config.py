@@ -265,13 +265,15 @@ class SamplingConfig:
 @dataclass(frozen=True)
 class EngineConfig:
     max_batch_size: int = 8             # CFG pairs; device batch = 2x this
-    max_model_len: int = 640            # cond(34) + text + 1 + speech tokens
-    prefill_buckets: tuple = (64, 128, 256)
+    max_model_len: int = 1024           # cond(34) + text + 1 + speech tokens
+    # text-length buckets; prefill is O(T^2) so long buckets cost what they
+    # should.  Buckets that don't fit max_model_len are skipped at runtime.
+    # 2048 matches the reference's max_text_tokens (t3_config.py:5).
+    prefill_buckets: tuple = (64, 128, 256, 512, 1024, 2048)
     kv_block_size: int = 16
-    kv_cache_dtype: str = "bfloat16"    # or "int8"
-    weights_dtype: str = "bfloat16"
+    kv_cache_dtype: str = "bfloat16"    # or "int8" (paged engine)
     quant_mode: str = "none"            # none | int8 | int4_awq
-    decode_steps_per_dispatch: int = 8  # tokens generated per host round-trip
+    decode_steps_per_dispatch: int = 32  # tokens generated per host round-trip
     enable_analyzer: bool = True        # in-loop alignment stream analyzer
 
 
@@ -315,7 +317,8 @@ class Config:
         t3 = T3Config.multilingual() if model == "multilingual" else T3Config.english()
         eng = EngineConfig(
             max_batch_size=int(os.environ.get("CHATTERBOX_MAX_BATCH_SIZE", 8)),
-            max_model_len=int(os.environ.get("CHATTERBOX_MAX_MODEL_LEN", 640)),
+            max_model_len=int(os.environ.get("CHATTERBOX_MAX_MODEL_LEN", 1024)),
+            kv_cache_dtype=os.environ.get("CHATTERBOX_KV_CACHE_DTYPE", "bfloat16"),
             quant_mode=os.environ.get("CHATTERBOX_QUANT_MODE", "none"),
         )
         srv = ServerConfig(

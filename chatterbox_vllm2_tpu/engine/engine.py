@@ -9,12 +9,19 @@ into (`vllm.LLM` at reference `tts.py:150-171,445`).  Design (SURVEY.md §7):
     both rows.
   * Prefill and decode are separate jitted programs with static shapes; text
     lengths are bucketed (config.engine.prefill_buckets) so each bucket
-    compiles once.
+    compiles once.  Prefill attention is O(T^2) over the new tokens (never the
+    whole cache), so long-text buckets cost what they should.
   * Decode runs `decode_steps_per_dispatch` tokens per host round-trip via
     `lax.scan`; per-stream state (lengths, speech positions, sampler state,
-    done flags) lives on device.
-  * The KV cache is donated through the decode step so XLA updates it in
-    place.
+    RNG keys, done flags) lives on device.  The KV cache is donated through
+    the decode step so XLA updates it in place, and attention reads only a
+    static `cache_len` bucket that the host advances as sequences grow.
+  * quant_mode "int8" / "int4_awq" swaps the backbone matmul weights for
+    QuantTensors at construction (ops/quant_matmul.py) — the analog of the
+    reference's AWQ/bitsandbytes load-time quantization
+    (reference `quantization.py:29-185`, `tts.py:160-169`).
+  * Every request samples from its own PRNG key (T3Request.seed), so seeded
+    requests are reproducible under concurrency.
 
 Exact speech positions are tracked per stream — fixing the reference's
 acknowledged position-restart approximation (`models/t3/t3.py:447-464`).
@@ -37,13 +44,15 @@ from ..models.t3.model import (
     build_decode_embeds,
     build_prefill_embeds,
     cfg_combine,
-    decode_attn_mask,
     make_rope_tables,
-    prefill_attn_mask,
     speech_logits,
-    t3_backbone,
+    t3_decode,
+    t3_prefill,
 )
-from ..ops.sampling import SamplingState, sample
+from ..ops.quant_matmul import quantize_t3_params
+from ..ops.sampling import SamplingState, make_keys, sample, split_keys
+
+CACHE_LEN_BUCKET = 128   # decode attention reads round up to this granularity
 
 
 @dataclass
@@ -55,6 +64,7 @@ class T3Request:
     sampling: SamplingConfig = field(default_factory=SamplingConfig)
     max_new_tokens: int = 1000
     request_id: Optional[str] = None
+    seed: Optional[int] = None            # per-request RNG seed
 
 
 @dataclass
@@ -77,7 +87,7 @@ class DecodeState(NamedTuple):
     stopped: jnp.ndarray        # [B] bool — finished by emitting the stop token
     n_generated: jnp.ndarray    # [B] int32
     out_tokens: jnp.ndarray     # [B, max_out] int32
-    key: jax.Array
+    keys: jax.Array             # [B] typed PRNG keys — one stream per request
 
 
 def alignment_analyzer_logits(
@@ -123,6 +133,10 @@ def alignment_analyzer_logits(
 LogitProcessor = Callable[[jnp.ndarray, "DecodeState"], jnp.ndarray]
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 class T3Engine:
     """Batch/continuous T3 speech-token generation."""
 
@@ -133,25 +147,35 @@ class T3Engine:
         *,
         logit_processor: Optional[LogitProcessor] = None,
         compute_dtype=jnp.bfloat16,
+        mesh=None,
     ):
         self.config = config
         self.t3cfg: T3Config = config.t3
-        self.params = params
         self.compute_dtype = compute_dtype
         self.logit_processor = logit_processor
+        self.mesh = mesh
         ecfg = config.engine
         self.max_len = ecfg.max_model_len
         self.B = ecfg.max_batch_size
         self.S = 2 * self.B
         self.max_out = ecfg.max_model_len
+        params = quantize_t3_params(params, ecfg.quant_mode)
+        if mesh is not None:
+            from ..parallel.sharding import shard_engine_params
+            params = shard_engine_params(params, mesh)
+        self.params = params
         cos, sin = make_rope_tables(self.t3cfg, self.max_len)
         self._rope = (cos, sin)
+        prefill_kwargs = {}
+        if mesh is not None:
+            from ..parallel.sharding import decode_state_shardings
+            prefill_kwargs["out_shardings"] = decode_state_shardings(mesh)
         self._decode_chunk = jax.jit(
             self._decode_chunk_impl,
-            static_argnames=("num_steps",),
+            static_argnames=("num_steps", "cache_len"),
             donate_argnums=(1,),
         )
-        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(1,))
+        self._prefill = jax.jit(self._prefill_impl, **prefill_kwargs)
 
     # ------------------------------------------------------------------ #
     # jitted programs
@@ -160,52 +184,70 @@ class T3Engine:
     def _prefill_impl(
         self,
         params,
-        kv: KVCache,
         cond_emb,            # [B, 34, h]
         text_ids,            # [B, Tt]
         text_len,            # [B]
         sampling: SamplingState,
         cfg_scale,           # [B]
-        key,
-    ):
+        inactive,            # [B] bool — padding rows of a short batch
+        keys,                # [B] typed PRNG keys
+    ) -> DecodeState:
+        """Prefill the whole batch and assemble the initial DecodeState."""
         cfg = self.t3cfg
+        B, S = self.B, self.S
         embeds, positions, prefill_len = build_prefill_embeds(
             params, cfg, cond_emb.astype(self.compute_dtype), text_ids, text_len
         )
-        T = embeds.shape[1]
-        mask = prefill_attn_mask(prefill_len, T, self.max_len)
-        write_index = jnp.zeros((self.S,), jnp.int32)
-        hidden, kv = t3_backbone(
-            params, cfg, embeds, positions, kv, write_index, mask, *self._rope
+        kv = KVCache.zeros(cfg, S, self.max_len, self._kv_dtype())
+        hidden, kv = t3_prefill(
+            params, cfg, embeds, positions, prefill_len, kv, *self._rope
         )
-        last = hidden[jnp.arange(self.S), prefill_len - 1]       # [S, h]
-        logits = cfg_combine(speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)
-        seen = jnp.zeros((self.B, cfg.speech_vocab_size), bool)
-        key, sub = jax.random.split(key)
-        tok = sample(logits, sampling, seen, sub)
-        seen = seen.at[jnp.arange(self.B), tok].set(True)
-        return kv, prefill_len, tok, seen, key
+        last = hidden[jnp.arange(S), prefill_len - 1]            # [S, h]
+        logits = cfg_combine(
+            speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)
+        seen = jnp.zeros((B, cfg.speech_vocab_size), bool)
+        use, keys = split_keys(keys)
+        tok = sample(logits, sampling, seen, use)
+        seen = seen.at[jnp.arange(B), tok].set(True)
+
+        first_is_stop = tok == cfg.stop_speech_token
+        done0 = inactive | first_is_stop
+        return DecodeState(
+            kv=kv,
+            lengths=prefill_len,
+            speech_pos=jnp.ones((B,), jnp.int32),
+            last_token=tok,
+            prev_tokens=jnp.full((B, 2), -1, jnp.int32),
+            completed_at=jnp.full((B,), -1, jnp.int32),
+            seen=seen,
+            done=done0,
+            stopped=~inactive & first_is_stop,
+            n_generated=jnp.where(done0, 0, 1).astype(jnp.int32),
+            out_tokens=jnp.zeros((B, self.max_out), jnp.int32)
+            .at[:, 0].set(jnp.where(first_is_stop, 0, tok)),
+            keys=keys,
+        )
 
     def _decode_step(self, params, sampling: SamplingState, cfg_scale, max_new,
-                     text_len, state: DecodeState, _):
+                     text_len, cache_len: int, state: DecodeState, _):
         cfg = self.t3cfg
         tokens_s = jnp.repeat(state.last_token, 2)
         pos_s = jnp.repeat(state.speech_pos, 2)
         embeds = build_decode_embeds(params, cfg, tokens_s, pos_s, self.compute_dtype)
-        mask = decode_attn_mask(state.lengths, self.max_len)
-        hidden, kv = t3_backbone(
-            params, cfg, embeds, state.lengths[:, None].astype(jnp.int32),
-            state.kv, state.lengths, mask, *self._rope
+        hidden, kv = t3_decode(
+            params, cfg, embeds, state.kv, state.lengths, *self._rope,
+            cache_len=cache_len,
         )
-        logits = cfg_combine(speech_logits(params, hidden[:, 0, :], cfg.speech_vocab_size), cfg_scale)
+        logits = cfg_combine(
+            speech_logits(params, hidden, cfg.speech_vocab_size), cfg_scale)
         completed_at = state.completed_at
         if self.config.engine.enable_analyzer:
             logits, completed_at = alignment_analyzer_logits(
                 logits, state, text_len, cfg.stop_speech_token)
         if self.logit_processor is not None:
             logits = self.logit_processor(logits, state)
-        key, sub = jax.random.split(state.key)
-        tok = sample(logits, sampling, state.seen, sub)
+        use, keys = split_keys(state.keys)
+        tok = sample(logits, sampling, state.seen, use)
 
         active = ~state.done
         tok = jnp.where(active, tok, cfg.stop_speech_token)
@@ -227,15 +269,15 @@ class T3Engine:
             kv=kv, lengths=lengths, speech_pos=speech_pos, last_token=tok,
             prev_tokens=prev, completed_at=completed_at,
             seen=seen, done=done, stopped=state.stopped | hit_stop,
-            n_generated=n_gen, out_tokens=out, key=key,
+            n_generated=n_gen, out_tokens=out, keys=keys,
         )
         return new_state, None
 
     def _decode_chunk_impl(self, params, state: DecodeState,
                            sampling: SamplingState, cfg_scale, max_new,
-                           text_len, num_steps: int):
+                           text_len, num_steps: int, cache_len: int):
         step = functools.partial(self._decode_step, params, sampling, cfg_scale,
-                                 max_new, text_len)
+                                 max_new, text_len, cache_len)
         state, _ = jax.lax.scan(step, state, None, length=num_steps)
         return state
 
@@ -244,13 +286,19 @@ class T3Engine:
     # ------------------------------------------------------------------ #
 
     def _bucket_len(self, n: int) -> int:
+        cond = self.t3cfg.cond_seq_len
         for b in self.config.engine.prefill_buckets:
-            if n <= b:
+            # a bucket must leave room for cond + text + SOS + >=1 speech token
+            if n <= b and cond + b + 2 <= self.max_len:
                 return b
         raise ValueError(
-            f"text length {n} exceeds the largest prefill bucket "
-            f"{self.config.engine.prefill_buckets[-1]}"
+            f"text length {n} does not fit any prefill bucket under "
+            f"max_model_len={self.max_len} "
+            f"(buckets {self.config.engine.prefill_buckets})"
         )
+
+    def _cache_len(self, length_bound: int) -> int:
+        return min(self.max_len, _round_up(length_bound, CACHE_LEN_BUCKET))
 
     def generate(
         self,
@@ -260,7 +308,7 @@ class T3Engine:
         """Generate speech tokens for up to max_batch_size requests.
 
         Larger request lists are processed in batches (continuous slot-level
-        admission lives in `scheduler.py`).
+        admission lives in `scheduler.py` / `paged.py`).
         """
         results: list[T3Result] = []
         for i in range(0, len(requests), self.B):
@@ -271,7 +319,7 @@ class T3Engine:
         t0 = time.time()
         cfg = self.t3cfg
         n = len(requests)
-        B, S = self.B, self.S
+        B = self.B
         Tt = self._bucket_len(max(len(r.text_ids) for r in requests))
 
         text_ids = np.zeros((B, Tt), np.int32)
@@ -279,6 +327,7 @@ class T3Engine:
         cond = np.zeros((B, cfg.cond_seq_len, cfg.hidden_size), np.float32)
         cfg_scale = np.zeros((B,), np.float32)
         max_new = np.full((B,), 1, np.int32)
+        seeds = np.arange(B, dtype=np.int64) + seed
         samp = dict(temperature=np.zeros(B, np.float32), top_p=np.ones(B, np.float32),
                     min_p=np.zeros(B, np.float32), repetition_penalty=np.ones(B, np.float32))
         for i, r in enumerate(requests):
@@ -289,50 +338,37 @@ class T3Engine:
             cfg_scale[i] = r.sampling.cfg_scale
             budget = self.max_len - (cfg.cond_seq_len + L + 1) - 1
             max_new[i] = min(r.max_new_tokens, r.sampling.max_tokens, budget)
+            if r.seed is not None:
+                seeds[i] = r.seed
             samp["temperature"][i] = r.sampling.temperature
             samp["top_p"][i] = r.sampling.top_p
             samp["min_p"][i] = r.sampling.min_p
             samp["repetition_penalty"][i] = r.sampling.repetition_penalty
 
         sampling = SamplingState(**{k: jnp.asarray(v) for k, v in samp.items()})
-        kv = KVCache.zeros(cfg, S, self.max_len, self._kv_dtype())
-        key = jax.random.PRNGKey(seed)
+        inactive = jnp.asarray(np.arange(B) >= n)
 
-        kv, prefill_len, tok, seen, key = self._prefill(
-            self.params, kv, jnp.asarray(cond), jnp.asarray(text_ids),
-            jnp.asarray(text_len), sampling, jnp.asarray(cfg_scale), key
-        )
-
-        # inactive rows are marked done immediately
-        done0 = jnp.asarray(np.arange(B) >= n)
-        first_is_stop = tok == cfg.stop_speech_token
-        state = DecodeState(
-            kv=kv,
-            lengths=prefill_len,
-            speech_pos=jnp.ones((B,), jnp.int32),
-            last_token=tok,
-            prev_tokens=jnp.full((B, 2), -1, jnp.int32),
-            completed_at=jnp.full((B,), -1, jnp.int32),
-            seen=seen,
-            done=done0 | first_is_stop,
-            stopped=~done0 & first_is_stop,
-            n_generated=jnp.where(done0 | first_is_stop, 0, 1).astype(jnp.int32),
-            out_tokens=jnp.zeros((B, self.max_out), jnp.int32)
-            .at[:, 0].set(jnp.where(first_is_stop, 0, tok)),
-            key=key,
+        state = self._prefill(
+            self.params, jnp.asarray(cond), jnp.asarray(text_ids),
+            jnp.asarray(text_len), sampling, jnp.asarray(cfg_scale),
+            inactive, make_keys(seeds),
         )
 
         steps = self.config.engine.decode_steps_per_dispatch
         max_new_j = jnp.asarray(max_new)
         cfg_scale_j = jnp.asarray(cfg_scale)
         text_len_j = jnp.asarray(text_len)
+        base = int(cfg.cond_seq_len + text_len.max() + 1)
+        progress = 0
         while True:
             if bool(np.all(jax.device_get(state.done))):
                 break
+            cache_len = self._cache_len(base + progress + steps + 1)
             state = self._decode_chunk(
                 self.params, state, sampling, cfg_scale_j, max_new_j, text_len_j,
-                num_steps=steps
+                num_steps=steps, cache_len=cache_len,
             )
+            progress += steps
 
         out = np.asarray(jax.device_get(state.out_tokens))
         n_gen = np.asarray(jax.device_get(state.n_generated))

@@ -14,7 +14,10 @@ matching vLLM's recompute-preemption policy.
 
 Decode attention runs in the Pallas kernel (`ops/paged_attention.py`),
 optionally over INT8 pages with per-(token, head) scales
-(`kv_cache_dtype="int8"`), quantized on append inside the jitted step.
+(`kv_cache_dtype="int8"`), quantized on append inside the jitted step.  The
+30 layers are a static Python loop with the page pools updated in place
+(stacked [L, P, H, bs, D], donated through the decode chunk) — a lax.scan
+over layers would copy the whole pool through the scan buffers every step.
 """
 
 from __future__ import annotations
@@ -31,29 +34,32 @@ import numpy as np
 
 from ..config import Config
 from ..models.t3.model import (
+    KVCache,
+    _layer_params,
+    _mlp,
+    _qkv,
     build_decode_embeds,
     build_prefill_embeds,
     cfg_combine,
-    KVCache,
     make_rope_tables,
-    prefill_attn_mask,
     speech_logits,
-    t3_backbone,
+    t3_prefill,
 )
 from ..ops.norm import rms_norm
 from ..ops.paged_attention import (
-    append_to_pages,
     paged_attention_decode,
+    quantize_kv,
     write_prefill_to_pages,
 )
 from ..ops.rotary import apply_rope
-from ..ops.sampling import SamplingState, sample
+from ..ops.sampling import SamplingState, make_keys, sample, split_keys
 from .engine import T3Request, T3Result, alignment_analyzer_logits
 
 
 class PagedKV(NamedTuple):
-    """Per-layer page pools.  k/v: [L, P, H, bs, D]; scales [L, P, H, bs]
-    (present only for INT8 pages); tables: [S, NB] int32 page ids."""
+    """Stacked per-layer page pools.  k/v: [L, P, H, bs, D]; scales
+    [L, P, H, bs] f32 (present only for INT8 pages); tables: [S, NB] int32
+    page ids."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -65,8 +71,7 @@ class PagedKV(NamedTuple):
 def paged_backbone_decode(
     params: dict,
     cfg,
-    x: jnp.ndarray,            # [S, 1, hidden]
-    positions: jnp.ndarray,    # [S, 1] int32
+    x: jnp.ndarray,            # [S, hidden]
     paged: PagedKV,
     lengths: jnp.ndarray,      # [S] int32 — tokens already in cache
     rope_cos, rope_sin,
@@ -75,56 +80,55 @@ def paged_backbone_decode(
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, PagedKV]:
     """One decode step over the paged cache.  Appends the new token's K/V to
-    each stream's current page, then runs the Pallas paged-attention kernel."""
-    S, T, h = x.shape
-    assert T == 1
+    each stream's current page in place, then runs the Pallas paged-attention
+    kernel on that layer's pool."""
+    S, h = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     quantized = paged.k_scales is not None
+    rows = jnp.arange(S)
+    page = paged.tables[rows, lengths // block_size]             # [S]
+    off = lengths % block_size
+    pos = lengths[:, None]
+    k_pools, v_pools = paged.k, paged.v
+    k_scl, v_scl = paged.k_scales, paged.v_scales
 
-    def layer(x, scanned):
-        if quantized:
-            lp, k_pool, v_pool, k_scl, v_scl = scanned
-        else:
-            lp, k_pool, v_pool = scanned
-            k_scl = v_scl = None
+    for l in range(cfg.num_layers):
+        lp = _layer_params(params, l)
         resid = x
         y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        q = jnp.einsum("sth,hd->std", y, lp["q_proj"]).reshape(S, T, nh, hd)
-        k = jnp.einsum("sth,hd->std", y, lp["k_proj"]).reshape(S, T, cfg.num_kv_heads, hd)
-        v = jnp.einsum("sth,hd->std", y, lp["v_proj"]).reshape(S, T, cfg.num_kv_heads, hd)
-        q = apply_rope(q, rope_cos, rope_sin, positions)
-        k = apply_rope(k, rope_cos, rope_sin, positions)
+        q, k, v = _qkv(lp, y, cfg)                               # [S, nh, hd]
+        q = apply_rope(q[:, None], rope_cos, rope_sin, pos)[:, 0]
+        k = apply_rope(k[:, None], rope_cos, rope_sin, pos)[:, 0]
 
-        k_pool, v_pool, k_scl, v_scl = append_to_pages(
-            k_pool, v_pool, k[:, 0], v[:, 0],
-            paged.tables, lengths, block_size=block_size,
-            k_scales=k_scl, v_scales=v_scl)
+        if quantized:
+            k_q, k_s = quantize_kv(k)
+            v_q, v_s = quantize_kv(v)
+            k_pools = k_pools.at[l, page, :, off, :].set(k_q)
+            v_pools = v_pools.at[l, page, :, off, :].set(v_q)
+            k_scl = k_scl.at[l, page, :, off].set(k_s)
+            v_scl = v_scl.at[l, page, :, off].set(v_s)
+        else:
+            k_pools = k_pools.at[l, page, :, off, :].set(
+                k.astype(k_pools.dtype))
+            v_pools = v_pools.at[l, page, :, off, :].set(
+                v.astype(v_pools.dtype))
+
         out = paged_attention_decode(
-            q[:, 0].astype(jnp.float32), k_pool, v_pool, paged.tables,
+            q.astype(jnp.float32), k_pools[l], v_pools[l], paged.tables,
             lengths + 1, block_size=block_size, sm_scale=hd ** -0.5,
-            k_scales=k_scl, v_scales=v_scl, interpret=interpret)
-        out = out.reshape(S, 1, nh * hd).astype(x.dtype)
-        x = resid + jnp.einsum("std,dh->sth", out, lp["o_proj"])
+            k_scales=None if not quantized else k_scl[l],
+            v_scales=None if not quantized else v_scl[l],
+            interpret=interpret)
+        out = out.reshape(S, nh * hd).astype(x.dtype)
+        from ..ops.quant_matmul import quant_einsum
+        x = resid + quant_einsum(out, lp["o_proj"])
 
         resid = x
         y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        gate = jnp.einsum("sth,hi->sti", y, lp["gate_proj"])
-        up = jnp.einsum("sth,hi->sti", y, lp["up_proj"])
-        y = jax.nn.silu(gate) * up
-        x = resid + jnp.einsum("sti,ih->sth", y, lp["down_proj"])
-        if quantized:
-            return x, (k_pool, v_pool, k_scl, v_scl)
-        return x, (k_pool, v_pool)
+        x = resid + _mlp(lp, y)
 
-    scanned = ((params["layers"], paged.k, paged.v, paged.k_scales, paged.v_scales)
-               if quantized else (params["layers"], paged.k, paged.v))
-    x, ys = jax.lax.scan(layer, x, scanned)
-    if quantized:
-        new_k, new_v, new_ks, new_vs = ys
-    else:
-        (new_k, new_v), new_ks, new_vs = ys, None, None
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, PagedKV(new_k, new_v, new_ks, new_vs, paged.tables)
+    return x, PagedKV(k_pools, v_pools, k_scl, v_scl, paged.tables)
 
 
 class PagedDecodeState(NamedTuple):
@@ -139,7 +143,7 @@ class PagedDecodeState(NamedTuple):
     stopped: jnp.ndarray        # [B]
     n_generated: jnp.ndarray    # [B]
     out_tokens: jnp.ndarray     # [B, max_out]
-    key: jax.Array
+    keys: jnp.ndarray           # [B, 2] raw uint32 PRNG keys
 
 
 class PagedContinuousEngine:
@@ -148,13 +152,15 @@ class PagedContinuousEngine:
 
     def __init__(self, config: Config, params: dict,
                  compute_dtype=jnp.bfloat16, *, num_pages: Optional[int] = None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, logit_processor=None):
         from ..native import make_block_allocator
+        from ..ops.quant_matmul import quantize_t3_params
 
         self.config = config
         self.t3cfg = config.t3
-        self.params = params
+        self.params = quantize_t3_params(params, config.engine.quant_mode)
         self.compute_dtype = compute_dtype
+        self.logit_processor = logit_processor
         ecfg = config.engine
         self.B = ecfg.max_batch_size
         self.S = 2 * self.B
@@ -166,7 +172,7 @@ class PagedContinuousEngine:
         # streams share it by actual length, not worst case
         self.P = num_pages or max(self.S * self.NB * 3 // 4, 2 * self.NB)
         self.quantized = ecfg.kv_cache_dtype == "int8"
-        self.interpret = (jax.default_backend() == "cpu"
+        self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
         self.alloc = make_block_allocator(self.P, self.S, self.NB)
         cos, sin = make_rope_tables(self.t3cfg, self.max_len)
@@ -202,6 +208,7 @@ class PagedContinuousEngine:
         cfg, B, S = self.t3cfg, self.B, self.S
         H, D = cfg.num_kv_heads, cfg.head_dim
         L = cfg.num_layers
+
         def pages():
             return jnp.zeros((L, self.P, H, self.bs, D), self._kv_dtype())
 
@@ -222,7 +229,7 @@ class PagedContinuousEngine:
             stopped=jnp.zeros((B,), bool),
             n_generated=jnp.zeros((B,), jnp.int32),
             out_tokens=jnp.zeros((B, self.max_out), jnp.int32),
-            key=jax.random.PRNGKey(0),
+            keys=make_keys(np.zeros((B,), np.int64)),
         )
 
     # ------------------------------------------------------------------ #
@@ -230,7 +237,7 @@ class PagedContinuousEngine:
     # ------------------------------------------------------------------ #
 
     def _prefill_pair_impl(self, params, cond_emb, text_ids, text_len,
-                           sampling, cfg_scale, key):
+                           sampling, cfg_scale, keys):
         """Identical math to the dense pair prefill (prefill never reads the
         cache — it IS the start of the sequence), returning the pair's K/V for
         page scatter."""
@@ -240,51 +247,32 @@ class PagedContinuousEngine:
             text_ids, text_len)
         T = embeds.shape[1]
         kv = KVCache.zeros(cfg, 2, T, jnp.bfloat16)
-        mask = prefill_attn_mask(prefill_len, T, T)
-        hidden, kv = t3_backbone(
-            params, cfg, embeds, positions, kv,
-            jnp.zeros((2,), jnp.int32), mask, *self._rope)
+        hidden, kv = t3_prefill(
+            params, cfg, embeds, positions, prefill_len, kv, *self._rope)
         last = hidden[jnp.arange(2), prefill_len - 1]
         logits = cfg_combine(
             speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)
         seen = jnp.zeros((1, cfg.speech_vocab_size), bool)
-        tok = sample(logits, sampling, seen, key)
+        use, keys = split_keys(keys)
+        tok = sample(logits, sampling, seen, use)
         seen = seen.at[0, tok[0]].set(True)
-        return kv.k, kv.v, prefill_len, tok, seen
+        return kv.k, kv.v, prefill_len, tok, seen, keys
 
     def _admit_impl(self, state: PagedDecodeState, sampling, cfg_scale,
                     max_new, text_len, slot, pair_tables,
-                    new_k, new_v, prefill_len, tok, seen_row,
-                    req_sampling, req_cfg_scale, req_max_new, req_text_len,
-                    key):
+                    new_k, new_v, prefill_len, tok, seen_row, keys_row,
+                    req_sampling, req_cfg_scale, req_max_new, req_text_len):
         """Scatter the prefilled pair's K/V into its reserved pages and
-        install per-slot state."""
+        install per-slot state.  new_k/new_v: [L, 2, H, T, D]."""
         row = 2 * slot
         paged = state.paged
         # install the pair's block-table rows first so the scatter targets them
         tables = jax.lax.dynamic_update_slice(paged.tables, pair_tables, (row, 0))
 
-        # scatter the pair's per-layer K/V blocks into the pools (scan over
-        # layers keeps peak memory at one layer's pool)
-        if self.quantized:
-            def body(_, xs):
-                k_pool, v_pool, k_scl, v_scl, k_l, v_l = xs
-                return None, write_prefill_to_pages(
-                    k_pool, v_pool, k_l, v_l, pair_tables,
-                    block_size=self.bs, k_scales=k_scl, v_scales=v_scl)
-            _, (k_pages, v_pages, k_scales, v_scales) = jax.lax.scan(
-                body, None,
-                (paged.k, paged.v, paged.k_scales, paged.v_scales,
-                 new_k, new_v))
-        else:
-            def body(_, xs):
-                k_pool, v_pool, k_l, v_l = xs
-                kp, vp, _, _ = write_prefill_to_pages(
-                    k_pool, v_pool, k_l, v_l, pair_tables, block_size=self.bs)
-                return None, (kp, vp)
-            _, (k_pages, v_pages) = jax.lax.scan(
-                body, None, (paged.k, paged.v, new_k, new_v))
-            k_scales = v_scales = None
+        k_pages, v_pages, k_scales, v_scales = write_prefill_to_pages(
+            paged.k, paged.v, new_k, new_v, pair_tables,
+            block_size=self.bs,
+            k_scales=paged.k_scales, v_scales=paged.v_scales)
 
         first_is_stop = tok[0] == self.t3cfg.stop_speech_token
         lengths = jax.lax.dynamic_update_slice(state.lengths, prefill_len, (row,))
@@ -304,7 +292,7 @@ class PagedContinuousEngine:
             out_tokens=state.out_tokens.at[slot].set(
                 jnp.zeros((self.max_out,), jnp.int32)
                 .at[0].set(jnp.where(first_is_stop, 0, tok[0]))),
-            key=key,
+            keys=jax.lax.dynamic_update_slice(state.keys, keys_row, (slot, 0)),
         )
         sampling = SamplingState(
             *(arr.at[slot].set(new[0])
@@ -322,18 +310,19 @@ class PagedContinuousEngine:
         embeds = build_decode_embeds(params, cfg, tokens_s, pos_s,
                                      self.compute_dtype)
         hidden, paged = paged_backbone_decode(
-            params, cfg, embeds, state.lengths[:, None].astype(jnp.int32),
-            state.paged, state.lengths, *self._rope,
+            params, cfg, embeds, state.paged, state.lengths, *self._rope,
             block_size=self.bs, interpret=self.interpret)
         logits = cfg_combine(
-            speech_logits(params, hidden[:, 0, :], cfg.speech_vocab_size),
+            speech_logits(params, hidden, cfg.speech_vocab_size),
             cfg_scale)
         completed_at = state.completed_at
         if self.config.engine.enable_analyzer:
             logits, completed_at = alignment_analyzer_logits(
                 logits, state, text_len, cfg.stop_speech_token)
-        key, sub = jax.random.split(state.key)
-        tok = sample(logits, sampling, state.seen, sub)
+        if self.logit_processor is not None:
+            logits = self.logit_processor(logits, state)
+        use, keys = split_keys(state.keys)
+        tok = sample(logits, sampling, state.seen, use)
 
         active = ~state.done
         tok = jnp.where(active, tok, cfg.stop_speech_token)
@@ -355,7 +344,7 @@ class PagedContinuousEngine:
             paged=paged, lengths=lengths, speech_pos=speech_pos,
             last_token=tok, prev_tokens=prev, completed_at=completed_at,
             seen=seen, done=done, stopped=state.stopped | hit_stop,
-            n_generated=n_gen, out_tokens=out, key=key), None
+            n_generated=n_gen, out_tokens=out, keys=keys), None
 
     def _decode_chunk_impl(self, params, state, sampling, cfg_scale, max_new,
                            text_len, num_steps: int):
@@ -379,15 +368,18 @@ class PagedContinuousEngine:
         return bool(self._pending or self._active)
 
     def _bucket_len(self, n: int) -> int:
+        cond = self.t3cfg.cond_seq_len
         for b in self.config.engine.prefill_buckets:
-            if n <= b:
+            if n <= b and cond + b + 2 <= self.max_len:
                 return b
-        raise ValueError(f"text length {n} exceeds largest prefill bucket")
+        raise ValueError(
+            f"text length {n} does not fit any prefill bucket under "
+            f"max_model_len={self.max_len}")
 
     def _reserve_for_chunk(self, lengths_host: np.ndarray, steps: int) -> bool:
         """Ensure every active stream has pages for `steps` more tokens.
-        On pool exhaustion, preempt the youngest request.  Returns True if
-        the tables changed (device copy needed)."""
+        On pool exhaustion, preempt the youngest active request.  Returns True
+        if the tables changed (device copy needed)."""
         changed = False
         while True:
             ok = True
@@ -436,23 +428,23 @@ class PagedContinuousEngine:
             1, temperature=req.sampling.temperature, top_p=req.sampling.top_p,
             min_p=req.sampling.min_p,
             repetition_penalty=req.sampling.repetition_penalty)
-        key_p, key_s = jax.random.split(jax.random.PRNGKey(next(self._seed)))
-        kv_k, kv_v, prefill_len, tok, seen = self._prefill_pair(
+        seed = req.seed if req.seed is not None else next(self._seed)
+        kv_k, kv_v, prefill_len, tok, seen, keys_row = self._prefill_pair(
             self.params, jnp.asarray(req.cond_emb, jnp.float32)[None],
             jnp.asarray(text_ids), jnp.asarray([L], jnp.int32),
             req_sampling, jnp.asarray([req.sampling.cfg_scale], jnp.float32),
-            key_p)
+            make_keys(np.asarray([seed], np.int64)))
         (self._state, self._sampling, self._cfg_scale, self._max_new,
          self._text_len) = self._admit(
             self._state, self._sampling, self._cfg_scale, self._max_new,
             self._text_len, jnp.asarray(slot, jnp.int32),
             jnp.asarray(pair_tables),
-            kv_k, kv_v, prefill_len, tok, seen,
+            kv_k, kv_v, prefill_len, tok, seen, keys_row,
             req_sampling,
             jnp.asarray([req.sampling.cfg_scale], jnp.float32),
             jnp.asarray([min(req.max_new_tokens, req.sampling.max_tokens,
                              self.max_len - T - 1)], jnp.int32),
-            jnp.asarray([L], jnp.int32), key_s)
+            jnp.asarray([L], jnp.int32))
         self._active[slot] = (rid, req, time.time())
         return True
 

@@ -23,11 +23,9 @@ first-class input and positions are exact.
 
 from __future__ import annotations
 
-import functools
 import itertools
 import time
 from collections import deque
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +36,10 @@ from ..models.t3.model import (
     KVCache,
     build_prefill_embeds,
     cfg_combine,
-    prefill_attn_mask,
     speech_logits,
-    t3_backbone,
+    t3_prefill,
 )
-from ..ops.sampling import SamplingState, sample
+from ..ops.sampling import SamplingState, make_keys, sample, split_keys
 from .engine import DecodeState, T3Engine, T3Request, T3Result
 
 
@@ -67,6 +64,8 @@ class ContinuousEngine:
         self._results: dict[str, T3Result] = {}
         self._ids = itertools.count()
         self._seed = itertools.count(1)
+        # host mirror of per-slot lengths for the cache_len bucket bound
+        self._len_bound = np.zeros((self.B,), np.int64)
 
         self._prefill_pair = jax.jit(self._prefill_pair_impl)
         self._admit = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3, 4))
@@ -95,16 +94,16 @@ class ContinuousEngine:
             stopped=jnp.zeros((B,), bool),
             n_generated=jnp.zeros((B,), jnp.int32),
             out_tokens=jnp.zeros((B, self.engine.max_out), jnp.int32),
-            key=jax.random.PRNGKey(0),
+            keys=make_keys(np.zeros((B,), np.int64)),
         )
 
     def _prefill_pair_impl(self, params, cond_emb, text_ids, text_len,
-                           sampling: SamplingState, cfg_scale, key):
+                           sampling: SamplingState, cfg_scale, keys):
         """Prefill ONE request (a CFG pair) into a fresh pair-sized KV block.
 
         cond_emb [1, 34, h]; text_ids [1, Tt]; text_len [1]; sampling fields
-        [1].  Returns (k, v) [L, 2, T, H, D], prefill_len [2], first token [1],
-        seen row [1, V].
+        [1]; keys [1, 2] raw.  Returns (k, v) [L, 2, H, T, D], prefill_len [2],
+        first token [1], seen row [1, V], advanced keys [1, 2].
         """
         cfg = self.t3cfg
         embeds, positions, prefill_len = build_prefill_embeds(
@@ -112,23 +111,23 @@ class ContinuousEngine:
             text_ids, text_len)
         T = embeds.shape[1]
         kv = KVCache.zeros(cfg, 2, T, self.engine._kv_dtype())
-        mask = prefill_attn_mask(prefill_len, T, T)
-        hidden, kv = t3_backbone(
-            params, cfg, embeds, positions, kv,
-            jnp.zeros((2,), jnp.int32), mask, *self.engine._rope)
+        hidden, kv = t3_prefill(
+            params, cfg, embeds, positions, prefill_len, kv,
+            *self.engine._rope)
         last = hidden[jnp.arange(2), prefill_len - 1]
         logits = cfg_combine(
             speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)
         seen = jnp.zeros((1, cfg.speech_vocab_size), bool)
-        tok = sample(logits, sampling, seen, key)
+        use, keys = split_keys(keys)
+        tok = sample(logits, sampling, seen, use)
         seen = seen.at[0, tok[0]].set(True)
-        return kv.k, kv.v, prefill_len, tok, seen
+        return kv.k, kv.v, prefill_len, tok, seen, keys
 
     def _admit_impl(self, state: DecodeState, sampling: SamplingState,
                     cfg_scale, max_new, text_len, slot,
-                    new_k, new_v, prefill_len, tok, seen_row,
+                    new_k, new_v, prefill_len, tok, seen_row, keys_row,
                     req_sampling: SamplingState, req_cfg_scale, req_max_new,
-                    req_text_len, key):
+                    req_text_len):
         """Scatter a prefilled pair into the persistent state at `slot`."""
         row = 2 * slot
         k = jax.lax.dynamic_update_slice(
@@ -153,7 +152,7 @@ class ContinuousEngine:
             out_tokens=state.out_tokens.at[slot].set(
                 jnp.zeros((self.engine.max_out,), jnp.int32)
                 .at[0].set(jnp.where(first_is_stop, 0, tok[0]))),
-            key=key,
+            keys=jax.lax.dynamic_update_slice(state.keys, keys_row, (slot, 0)),
         )
         sampling = SamplingState(
             *(arr.at[slot].set(new[0])
@@ -191,27 +190,27 @@ class ContinuousEngine:
             1, temperature=req.sampling.temperature, top_p=req.sampling.top_p,
             min_p=req.sampling.min_p,
             repetition_penalty=req.sampling.repetition_penalty)
-        key_p, key_s = jax.random.split(jax.random.PRNGKey(next(self._seed)))
-        kv_k, kv_v, prefill_len, tok, seen = self._prefill_pair(
+        seed = req.seed if req.seed is not None else next(self._seed)
+        kv_k, kv_v, prefill_len, tok, seen, keys_row = self._prefill_pair(
             self.engine.params,
             jnp.asarray(req.cond_emb, jnp.float32)[None],
             jnp.asarray(text_ids), jnp.asarray([L], jnp.int32),
             req_sampling, jnp.asarray([req.sampling.cfg_scale], jnp.float32),
-            key_p)
+            make_keys(np.asarray([seed], np.int64)))
         (self._state, self._sampling, self._cfg_scale, self._max_new,
          self._text_len) = self._admit(
             self._state, self._sampling, self._cfg_scale, self._max_new,
             self._text_len, jnp.asarray(slot, jnp.int32),
-            kv_k, kv_v, prefill_len, tok, seen,
+            kv_k, kv_v, prefill_len, tok, seen, keys_row,
             req_sampling,
             jnp.asarray([req.sampling.cfg_scale], jnp.float32),
             jnp.asarray(
                 [min(req.max_new_tokens, req.sampling.max_tokens,
                      self.max_len - (cfg.cond_seq_len + L + 1) - 1)],
                 jnp.int32),
-            jnp.asarray([L], jnp.int32),
-            key_s)
+            jnp.asarray([L], jnp.int32))
         self._active[slot] = (rid, req, time.time())
+        self._len_bound[slot] = cfg.cond_seq_len + L + 1
 
     def _harvest(self, done_host, n_gen_host, stopped_host, out_host=None):
         finished = [s for s in self._active if bool(done_host[s])]
@@ -242,10 +241,15 @@ class ContinuousEngine:
             done_host[slot] = False
 
         if self._active:
+            steps = self.config.engine.decode_steps_per_dispatch
+            active_slots = list(self._active)
+            cache_len = self.engine._cache_len(
+                int(self._len_bound[active_slots].max()) + steps + 1)
             self._state = self.engine._decode_chunk(
                 self.engine.params, self._state, self._sampling,
                 self._cfg_scale, self._max_new, self._text_len,
-                num_steps=self.config.engine.decode_steps_per_dispatch)
+                num_steps=steps, cache_len=cache_len)
+            self._len_bound[active_slots] += steps
             done_host = np.asarray(jax.device_get(self._state.done))
             n_gen = np.asarray(jax.device_get(self._state.n_generated))
             stopped = np.asarray(jax.device_get(self._state.stopped))

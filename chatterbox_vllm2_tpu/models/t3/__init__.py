@@ -1,6 +1,7 @@
 from .model import (
     init_t3_params,
-    t3_backbone,
+    t3_prefill,
+    t3_decode,
     build_prefill_embeds,
     build_decode_embeds,
     speech_logits,

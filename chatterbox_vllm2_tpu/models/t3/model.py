@@ -1,8 +1,8 @@
 """T3: the 520M Llama-style speech-token decoder, TPU-native.
 
 Capability parity with the reference's vLLM plugin (`models/t3/t3.py`), but the
-architecture is idiomatic JAX: pure functions over a parameter pytree, layers
-stacked for `lax.scan`, a dense slotted KV cache updated functionally, and
+architecture is idiomatic JAX: pure functions over a parameter pytree, a dense
+slotted KV cache updated in place (donated through the jit boundary), and
 classifier-free guidance as a *native batch axis* — each request occupies two
 adjacent rows (even = conditioned, odd = unconditioned) of the device batch.
 
@@ -13,6 +13,21 @@ This removes the reference's three signature hacks (SURVEY.md §7):
     phase it is in, ids live in their natural [0, 8194) space;
   * placeholder-token / triangular-matrix prefill smuggling (`t3.py:186-248`)
     — conditioning embeddings are a first-class input to prefill.
+
+Performance design (decode is HBM-bound on weight + KV traffic):
+  * The 30 layers are a **static Python loop**, not `lax.scan` — scanning over
+    layers forces XLA to copy the full KV cache through the scan's xs/ys
+    buffers every step (measured: >70%% of step time in round 1).  Unrolled,
+    each layer's cache update is one in-place dynamic-update-slice.
+  * QKV and gate/up are fused into single matmuls.  Column order is
+    TP-friendly: qkv columns are (head, which, head_dim) so a contiguous
+    column shard = whole heads; gate_up columns are (inter, which) so a shard
+    holds matching gate/up pairs.
+  * K and V caches are [L, S, H, M, D] (head-major, D minor) — the layouts
+    the QK^T / PV dots want, so no boundary relayouts.
+  * Decode attention reads the cache only up to a static `cache_len` bucket
+    (the engine rounds the current maximum length up), so early decode steps
+    do not pay max_model_len reads.
 
 Sequence layout (matches reference semantics, `t3.py:542-559`):
 
@@ -26,7 +41,7 @@ approximation, `t3.py:447-464`).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +49,7 @@ import numpy as np
 
 from ...config import T3Config
 from ...ops.norm import rms_norm
+from ...ops.quant_matmul import quant_einsum
 from ...ops.rotary import apply_rope, rope_table
 
 
@@ -46,11 +62,32 @@ def _dense_init(key, shape, dtype, scale=0.02):
     return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
 
+def fuse_qkv(q: np.ndarray, k: np.ndarray, v: np.ndarray, cfg: T3Config) -> np.ndarray:
+    """[h, nh*hd] x3 -> [h, nh*3*hd] with column order (head, which, hd).
+
+    A contiguous column shard then equals whole heads, so tensor-parallel
+    sharding of the fused matrix never splits a q/k/v block (the fused-QKV
+    analog of vLLM's QKVParallelLinear, which the reference uses implicitly
+    through `LlamaModel`).
+    """
+    h = q.shape[0]
+    nh, hd = cfg.num_heads, cfg.head_dim
+    stacked = np.stack([w.reshape(h, nh, hd) for w in (q, k, v)], axis=2)
+    return stacked.reshape(h, nh * 3 * hd)
+
+
+def fuse_gate_up(gate: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """[h, I] x2 -> [h, I*2] with column order (inter, which): a contiguous
+    column shard holds matching (gate, up) pairs for any divisor of I."""
+    h, inter = gate.shape
+    return np.stack([gate, up], axis=-1).reshape(h, 2 * inter)
+
+
 def init_t3_params(key: jax.Array, cfg: T3Config, dtype=jnp.float32) -> dict:
     """Random-initialised T3 parameter pytree (tests / benchmarks).
 
     Real checkpoints are loaded by `utils/checkpoint.py`, which maps the
-    reference safetensors names onto this tree.
+    reference safetensors names onto this tree (fusing QKV and gate/up).
     """
     keys = iter(jax.random.split(key, 16))
     h, nh, hd, inter = cfg.hidden_size, cfg.num_heads, cfg.head_dim, cfg.intermediate_size
@@ -61,13 +98,10 @@ def init_t3_params(key: jax.Array, cfg: T3Config, dtype=jnp.float32) -> dict:
 
     layers = {
         "input_norm": jnp.ones((L, h), dtype),
-        "q_proj": stack(next(keys), (h, nh * hd)),
-        "k_proj": stack(next(keys), (h, cfg.num_kv_heads * hd)),
-        "v_proj": stack(next(keys), (h, cfg.num_kv_heads * hd)),
+        "qkv_proj": stack(next(keys), (h, nh * 3 * hd)),
         "o_proj": stack(next(keys), (nh * hd, h)),
         "post_norm": jnp.ones((L, h), dtype),
-        "gate_proj": stack(next(keys), (h, inter)),
-        "up_proj": stack(next(keys), (h, inter)),
+        "gate_up_proj": stack(next(keys), (h, 2 * inter)),
         "down_proj": stack(next(keys), (inter, h)),
     }
     return {
@@ -84,10 +118,12 @@ def init_t3_params(key: jax.Array, cfg: T3Config, dtype=jnp.float32) -> dict:
 
 
 class KVCache(NamedTuple):
-    """Dense slotted KV cache: [num_layers, num_slots, max_len, kv_heads, head_dim].
+    """Dense slotted KV cache: [num_layers, num_slots, kv_heads, max_len, head_dim].
 
-    Slot s is one CFG stream; a request owns slots (2i, 2i+1).  The paged
-    variant lives in `engine/kv_cache.py` and shares the model interface.
+    Slot s is one CFG stream; a request owns slots (2i, 2i+1).  Head-major,
+    head_dim-minor — the natural operand layout for both attention dots, so
+    the cache never gets relaid-out at jit boundaries.  The paged variant
+    lives in `engine/paged.py` and shares the model interface.
     """
 
     k: jnp.ndarray
@@ -95,80 +131,154 @@ class KVCache(NamedTuple):
 
     @classmethod
     def zeros(cls, cfg: T3Config, num_slots: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_layers, num_slots, max_len, cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, num_slots, cfg.num_kv_heads, max_len, cfg.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
 # ---------------------------------------------------------------------------
-# Backbone
+# Layer pieces (shared by prefill / decode / paged decode)
 # ---------------------------------------------------------------------------
 
 
-def t3_backbone(
+def _layer_params(params: dict, l: int) -> dict:
+    """Static per-layer view of the stacked layer arrays (and, when present,
+    the stacked quantized weights, see ops/quant_matmul.QuantLayer)."""
+    return jax.tree.map(lambda a: a[l], params["layers"])
+
+
+def _qkv(lp: dict, y: jnp.ndarray, cfg: T3Config):
+    """y [..., h] -> q, k, v each [..., nh, hd]."""
+    nh, hd = cfg.num_heads, cfg.head_dim
+    out = quant_einsum(y, lp["qkv_proj"])
+    out = out.reshape(y.shape[:-1] + (nh, 3, hd))
+    return out[..., 0, :], out[..., 1, :], out[..., 2, :]
+
+
+def _mlp(lp: dict, y: jnp.ndarray) -> jnp.ndarray:
+    gu = quant_einsum(y, lp["gate_up_proj"])
+    gu = gu.reshape(y.shape[:-1] + (gu.shape[-1] // 2, 2))
+    act = jax.nn.silu(gu[..., 0]) * gu[..., 1]
+    return quant_einsum(act, lp["down_proj"])
+
+
+# ---------------------------------------------------------------------------
+# Prefill: O(T^2) causal attention over the new tokens only
+# ---------------------------------------------------------------------------
+
+
+def t3_prefill(
     params: dict,
     cfg: T3Config,
-    x: jnp.ndarray,              # [S, T, hidden]
-    positions: jnp.ndarray,      # [S, T] int32 — global (RoPE) positions
-    kv_cache: KVCache,
-    write_index: jnp.ndarray,    # [S] int32 — where the T new tokens land in the cache
-    attn_mask: jnp.ndarray,      # [S, T, max_len] bool — True = may attend
+    embeds: jnp.ndarray,         # [S, T, hidden]
+    positions: jnp.ndarray,      # [S, T] int32
+    prefill_len: jnp.ndarray,    # [S] int32 — true lengths (padding masked out)
+    kv: KVCache,                 # cache with max_len >= T; written at offset 0
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
 ) -> tuple[jnp.ndarray, KVCache]:
-    """Run the 30-layer Llama backbone over new tokens against the KV cache.
+    """Run the backbone over a fresh sequence and write K/V at cache offset 0.
 
-    Handles both prefill (T > 1, write_index typically 0) and decode (T = 1,
-    write_index = current length).  Returns final hidden states and the
-    functionally-updated cache (donate the cache at the jit boundary).
+    Attention is causal over the new tokens themselves (a prefill never has
+    prior cache), so cost is O(T^2) — independent of max_model_len, unlike a
+    full-cache mask (the fix for round-1's 256-token bucket cap; reference
+    supports max_text_tokens=2048, `models/t3/modules/t3_config.py:5`).
     """
+    x = embeds
     S, T, h = x.shape
-    nh, hd = cfg.num_heads, cfg.head_dim
-    scale = hd ** -0.5
+    scale = cfg.head_dim ** -0.5
     neg_inf = jnp.asarray(-1e30, jnp.float32)
+    t_idx = jnp.arange(T)
+    # [S, T, T]: query t attends key m iff m <= t and m < prefill_len
+    mask = (t_idx[None, None, :] <= t_idx[None, :, None]) & \
+           (t_idx[None, None, :] < prefill_len[:, None, None])
+    k_cache, v_cache = kv.k, kv.v
 
-    def write_kv(cache_l, new, idx):
-        # cache_l: [S, M, H, D], new: [S, T, H, D], idx: [S]
-        def one(c, n, i):
-            return jax.lax.dynamic_update_slice(c, n, (i, 0, 0))
-        return jax.vmap(one)(cache_l, new, idx)
-
-    def layer(x, lp_and_cache):
-        lp, k_cache_l, v_cache_l = lp_and_cache
+    for l in range(cfg.num_layers):
+        lp = _layer_params(params, l)
         resid = x
         y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        q = jnp.einsum("sth,hd->std", y, lp["q_proj"]).reshape(S, T, nh, hd)
-        k = jnp.einsum("sth,hd->std", y, lp["k_proj"]).reshape(S, T, cfg.num_kv_heads, hd)
-        v = jnp.einsum("sth,hd->std", y, lp["v_proj"]).reshape(S, T, cfg.num_kv_heads, hd)
+        q, k, v = _qkv(lp, y, cfg)                      # [S, T, nh, hd]
         q = apply_rope(q, rope_cos, rope_sin, positions)
         k = apply_rope(k, rope_cos, rope_sin, positions)
 
-        k_cache_l = write_kv(k_cache_l, k.astype(k_cache_l.dtype), write_index)
-        v_cache_l = write_kv(v_cache_l, v.astype(v_cache_l.dtype), write_index)
+        k_cache = k_cache.at[l, :, :, :T, :].set(
+            k.transpose(0, 2, 1, 3).astype(k_cache.dtype))
+        v_cache = v_cache.at[l, :, :, :T, :].set(
+            v.transpose(0, 2, 1, 3).astype(v_cache.dtype))
 
-        scores = jnp.einsum(
-            "sthd,smhd->shtm", q, k_cache_l.astype(q.dtype),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        scores = jnp.where(attn_mask[:, None, :, :], scores, neg_inf)
+        scores = jnp.einsum("sthd,smhd->shtm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[:, None, :, :], scores, neg_inf)
         probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum(
-            "shtm,smhd->sthd", probs.astype(v_cache_l.dtype), v_cache_l,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        out = out.reshape(S, T, nh * hd)
-        x = resid + jnp.einsum("std,dh->sth", out, lp["o_proj"])
+        out = jnp.einsum("shtm,smhd->sthd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(S, T, cfg.num_heads * cfg.head_dim)
+        x = resid + quant_einsum(out, lp["o_proj"])
 
         resid = x
         y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        gate = jnp.einsum("sth,hi->sti", y, lp["gate_proj"])
-        up = jnp.einsum("sth,hi->sti", y, lp["up_proj"])
-        y = jax.nn.silu(gate) * up
-        x = resid + jnp.einsum("sti,ih->sth", y, lp["down_proj"])
-        return x, (k_cache_l, v_cache_l)
+        x = resid + _mlp(lp, y)
 
-    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], kv_cache.k, kv_cache.v))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, KVCache(new_k, new_v)
+    return x, KVCache(k_cache, v_cache)
+
+
+# ---------------------------------------------------------------------------
+# Decode: single token per stream, in-place cache append, bucketed reads
+# ---------------------------------------------------------------------------
+
+
+def t3_decode(
+    params: dict,
+    cfg: T3Config,
+    x: jnp.ndarray,              # [S, hidden] — this step's token embeddings
+    kv: KVCache,
+    lengths: jnp.ndarray,        # [S] int32 — tokens already in cache (= RoPE pos)
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    *,
+    cache_len: Optional[int] = None,   # static read bound; None = max_len
+) -> tuple[jnp.ndarray, KVCache]:
+    """One decode step over all streams.  The new token's K/V is appended at
+    `lengths` in place; attention reads cache[:cache_len] with a length mask.
+    The caller guarantees max(lengths) < cache_len."""
+    S, h = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    scale = hd ** -0.5
+    neg_inf = jnp.asarray(-1e30, jnp.float32)
+    M = cache_len if cache_len is not None else kv.k.shape[3]
+    rows = jnp.arange(S)
+    mask = jnp.arange(M)[None, :] <= lengths[:, None]          # [S, M]
+    k_cache, v_cache = kv.k, kv.v
+
+    for l in range(cfg.num_layers):
+        lp = _layer_params(params, l)
+        resid = x
+        y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, y, cfg)                              # [S, nh, hd]
+        pos = lengths[:, None]
+        q = apply_rope(q[:, None], rope_cos, rope_sin, pos)[:, 0]
+        k = apply_rope(k[:, None], rope_cos, rope_sin, pos)[:, 0]
+
+        k_cache = k_cache.at[l, rows, :, lengths, :].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[l, rows, :, lengths, :].set(v.astype(v_cache.dtype))
+        kk = k_cache[l, :, :, :M, :]                            # [S, H, M, D]
+        vv = v_cache[l, :, :, :M, :]
+
+        scores = jnp.einsum("shd,shmd->shm", q, kk,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[:, None, :], scores, neg_inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("shm,shmd->shd", probs.astype(vv.dtype), vv,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        x = resid + quant_einsum(out.reshape(S, nh * hd), lp["o_proj"])
+
+        resid = x
+        y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+        x = resid + _mlp(lp, y)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, KVCache(k_cache, v_cache)
 
 
 # ---------------------------------------------------------------------------
@@ -226,9 +336,9 @@ def build_decode_embeds(
     speech_pos: jnp.ndarray,   # [S] int32 — exact speech position (start token = 0)
     dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """[S, 1, hidden] decode-step embeddings: speech_emb + exact speech_pos_emb."""
+    """[S, hidden] decode-step embeddings: speech_emb + exact speech_pos_emb."""
     e = params["speech_emb"][tokens] + params["speech_pos_emb"][speech_pos]
-    return e[:, None, :].astype(dtype)
+    return e.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -242,9 +352,8 @@ def speech_logits(params: dict, hidden: jnp.ndarray, vocab_size: int) -> jnp.nda
     The head is vocab-padded to a 256 multiple for even vocab-parallel
     sharding; the padding columns are sliced off here.
     """
-    logits = jnp.einsum(
-        "sh,hv->sv", hidden, params["speech_head"], preferred_element_type=jnp.float32
-    )
+    logits = quant_einsum(hidden, params["speech_head"],
+                          preferred_element_type=jnp.float32)
     return logits[:, :vocab_size]
 
 
@@ -262,20 +371,3 @@ def cfg_combine(logits: jnp.ndarray, cfg_scale: jnp.ndarray) -> jnp.ndarray:
 
 def make_rope_tables(cfg: T3Config, max_len: int):
     return rope_table(cfg.head_dim, max_len, cfg.rope)
-
-
-def prefill_attn_mask(prefill_len: jnp.ndarray, T: int, max_len: int) -> jnp.ndarray:
-    """[S, T, max_len] causal mask for prefill written at cache offset 0.
-
-    Query t may attend cache slot m iff m <= t and m < prefill_len (padding
-    rows beyond the true length are never readable).
-    """
-    t = jnp.arange(T)[None, :, None]
-    m = jnp.arange(max_len)[None, None, :]
-    return (m <= t) & (m < prefill_len[:, None, None])
-
-
-def decode_attn_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
-    """[S, 1, max_len] mask for single-token decode: attend all m <= length."""
-    m = jnp.arange(max_len)[None, None, :]
-    return m <= lengths[:, None, None]

@@ -183,6 +183,16 @@ def paged_attention_decode(
 # --------------------------------------------------------------------------- #
 
 
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 per-(token, head) quantization of K/V rows.
+    x [..., D] -> (int8 [..., D], scales [...])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scl = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scl[..., None]), -127, 127).astype(jnp.int8)
+    return q, scl
+
+
 def append_to_pages(
     k_pages: jnp.ndarray,       # [P, H, bs, D]
     v_pages: jnp.ndarray,
@@ -222,44 +232,53 @@ def append_to_pages(
 
 
 def write_prefill_to_pages(
-    k_pages: jnp.ndarray,       # [P, H, bs, D]
+    k_pages: jnp.ndarray,       # [P, H, bs, D]  or stacked [L, P, H, bs, D]
     v_pages: jnp.ndarray,
-    k_full: jnp.ndarray,        # [S, T, H, D] — prefill K (T <= NB*bs)
+    k_full: jnp.ndarray,        # [S, T, H, D]   or stacked [L, S, H, T, D]
     v_full: jnp.ndarray,
     block_tables: jnp.ndarray,  # [S, NB]
     *,
     block_size: int,
-    k_scales: jnp.ndarray | None = None,
+    k_scales: jnp.ndarray | None = None,   # [(L,) P, H, bs]
     v_scales: jnp.ndarray | None = None,
 ):
     """Scatter a whole prefill block into pages (padding tokens land in the
-    reserved pages and are masked by `lengths` at read time)."""
-    S, T, H, D = k_full.shape
+    reserved pages and are masked by `lengths` at read time).
+
+    The stacked form writes every layer's K/V in one scatter — the page ids
+    are layer-invariant, so the layer axis rides along as a leading full
+    slice (this is how the paged engine admits a prefilled CFG pair).
+    """
+    stacked = k_full.ndim == 5
+    if stacked:
+        L, S, H, T, D = k_full.shape
+    else:
+        S, T, H, D = k_full.shape
     nb = -(-T // block_size)
     pad = nb * block_size - T
-    def to_blocks(x):
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        return x.reshape(S, nb, block_size, H, D).transpose(0, 1, 3, 2, 4)
     pages = block_tables[:, :nb].reshape(-1)                 # [S*nb]
 
-    def quant(x):   # [S, nb, H, bs, D]
-        amax = jnp.max(jnp.abs(x), axis=-1)
-        scl = jnp.maximum(amax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(x / scl[..., None]), -127, 127).astype(jnp.int8)
-        return q, scl
+    def to_blocks(x):
+        # -> [(L,) S*nb, H, bs, D]
+        if stacked:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+            x = x.reshape(L, S, H, nb, block_size, D).transpose(0, 1, 3, 2, 4, 5)
+            return x.reshape(L, S * nb, H, block_size, D)
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        x = x.reshape(S, nb, block_size, H, D).transpose(0, 1, 3, 2, 4)
+        return x.reshape(S * nb, H, block_size, D)
 
     kb, vb = to_blocks(k_full), to_blocks(v_full)
+    idx = (slice(None), pages) if stacked else (pages,)
     if k_scales is not None:
-        k_q, k_s = quant(kb.astype(jnp.float32))
-        v_q, v_s = quant(vb.astype(jnp.float32))
-        k_pages = k_pages.at[pages].set(k_q.reshape(-1, H, block_size, D))
-        v_pages = v_pages.at[pages].set(v_q.reshape(-1, H, block_size, D))
-        k_scales = k_scales.at[pages].set(k_s.reshape(-1, H, block_size))
-        v_scales = v_scales.at[pages].set(v_s.reshape(-1, H, block_size))
+        k_q, k_s = quantize_kv(kb)
+        v_q, v_s = quantize_kv(vb)
+        k_pages = k_pages.at[idx].set(k_q)
+        v_pages = v_pages.at[idx].set(v_q)
+        k_scales = k_scales.at[idx].set(k_s)
+        v_scales = v_scales.at[idx].set(v_s)
         return k_pages, v_pages, k_scales, v_scales
 
-    k_pages = k_pages.at[pages].set(
-        kb.reshape(-1, H, block_size, D).astype(k_pages.dtype))
-    v_pages = v_pages.at[pages].set(
-        vb.reshape(-1, H, block_size, D).astype(v_pages.dtype))
+    k_pages = k_pages.at[idx].set(kb.astype(k_pages.dtype))
+    v_pages = v_pages.at[idx].set(vb.astype(v_pages.dtype))
     return k_pages, v_pages, None, None

@@ -82,6 +82,8 @@ def emb_p(sd, base):
 
 
 def convert_t3(sd: dict, cfg, dtype=jnp.bfloat16) -> dict:
+    from ..models.t3.model import fuse_gate_up, fuse_qkv
+
     L = cfg.num_layers
 
     def stack(fmt, transpose=True):
@@ -91,16 +93,28 @@ def convert_t3(sd: dict, cfg, dtype=jnp.bfloat16) -> dict:
             ws.append(w.T if transpose else w)
         return jnp.asarray(np.stack(ws), dtype)
 
-    # vLLM fuses qkv and gate_up at load; on disk they are separate HF names.
+    def stack_fused(fuse, *fmts):
+        ws = []
+        for i in range(L):
+            ws.append(fuse(*(_get(sd, f.format(i)).T for f in fmts)))
+        return jnp.asarray(np.stack(ws), dtype)
+
+    # QKV and gate/up are fused at load (like vLLM's weight loader does for
+    # the reference, `models/t3/t3.py:300-332`); on disk they are separate HF
+    # names.  Column orders are TP-friendly — see model.fuse_qkv/fuse_gate_up.
     layers = {
         "input_norm": stack("tfmr.layers.{}.input_layernorm.weight", transpose=False),
-        "q_proj": stack("tfmr.layers.{}.self_attn.q_proj.weight"),
-        "k_proj": stack("tfmr.layers.{}.self_attn.k_proj.weight"),
-        "v_proj": stack("tfmr.layers.{}.self_attn.v_proj.weight"),
+        "qkv_proj": stack_fused(
+            lambda q, k, v: fuse_qkv(q, k, v, cfg),
+            "tfmr.layers.{}.self_attn.q_proj.weight",
+            "tfmr.layers.{}.self_attn.k_proj.weight",
+            "tfmr.layers.{}.self_attn.v_proj.weight"),
         "o_proj": stack("tfmr.layers.{}.self_attn.o_proj.weight"),
         "post_norm": stack("tfmr.layers.{}.post_attention_layernorm.weight", transpose=False),
-        "gate_proj": stack("tfmr.layers.{}.mlp.gate_proj.weight"),
-        "up_proj": stack("tfmr.layers.{}.mlp.up_proj.weight"),
+        "gate_up_proj": stack_fused(
+            fuse_gate_up,
+            "tfmr.layers.{}.mlp.gate_proj.weight",
+            "tfmr.layers.{}.mlp.up_proj.weight"),
         "down_proj": stack("tfmr.layers.{}.mlp.down_proj.weight"),
     }
     head = _get(sd, "speech_head.weight").T          # [h, V]

@@ -20,7 +20,7 @@ def _state(n_gen, last, prev, completed_at=-1):
                                  else [completed_at] * B, jnp.int32),
         seen=None, done=None, stopped=None,
         n_generated=jnp.asarray(n_gen, jnp.int32),
-        out_tokens=None, key=None,
+        out_tokens=None, keys=None,
     )
 
 

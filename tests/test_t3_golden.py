@@ -19,8 +19,7 @@ from chatterbox_vllm2_tpu.config import T3Config  # noqa: E402
 from chatterbox_vllm2_tpu.models.t3.model import (  # noqa: E402
     KVCache,
     make_rope_tables,
-    prefill_attn_mask,
-    t3_backbone,
+    t3_prefill,
 )
 from chatterbox_vllm2_tpu.utils.checkpoint import convert_t3  # noqa: E402
 
@@ -62,8 +61,7 @@ def test_backbone_matches_hf_llama():
     cos, sin = make_rope_tables(cfg, max_len)
     kv = KVCache.zeros(cfg, B, max_len, jnp.float32)
     plen = jnp.full((B,), T, jnp.int32)
-    mask = prefill_attn_mask(plen, T, max_len)
     pos = jnp.broadcast_to(jnp.arange(T), (B, T)).astype(jnp.int32)
-    out, _ = t3_backbone(params, cfg, jnp.asarray(x.numpy()), pos, kv,
-                         jnp.zeros((B,), jnp.int32), mask, cos, sin)
+    out, _ = t3_prefill(params, cfg, jnp.asarray(x.numpy()), pos, plen,
+                        kv, cos, sin)
     np.testing.assert_allclose(np.asarray(out), hf_out.numpy(), rtol=2e-3, atol=2e-3)

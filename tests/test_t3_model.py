@@ -8,14 +8,14 @@ import pytest
 from chatterbox_vllm2_tpu.config import Config, EngineConfig, T3Config
 from chatterbox_vllm2_tpu.models.t3.model import (
     KVCache,
+    build_decode_embeds,
     build_prefill_embeds,
     cfg_combine,
-    decode_attn_mask,
     init_t3_params,
     make_rope_tables,
-    prefill_attn_mask,
     speech_logits,
-    t3_backbone,
+    t3_decode,
+    t3_prefill,
 )
 
 
@@ -46,8 +46,8 @@ def test_prefill_embed_layout(tiny):
 
 
 def test_prefill_decode_consistency(tiny):
-    """Decoding token-by-token with the KV cache must match a single
-    full-sequence forward (same logits at every position)."""
+    """Decoding token-by-token with the KV cache must match prefilling the
+    whole sequence at once (same hidden states at every position)."""
     cfg, params = tiny
     max_len = 32
     S = 2
@@ -55,34 +55,47 @@ def test_prefill_decode_consistency(tiny):
     rng = jax.random.PRNGKey(1)
     T_full = 10
     x_full = jax.random.normal(rng, (S, T_full, cfg.hidden_size))
+    pos = jnp.broadcast_to(jnp.arange(T_full), (S, T_full)).astype(jnp.int32)
 
     # one-shot
     kv = KVCache.zeros(cfg, S, max_len, jnp.float32)
     plen = jnp.full((S,), T_full, jnp.int32)
-    mask = prefill_attn_mask(plen, T_full, max_len)
-    pos = jnp.broadcast_to(jnp.arange(T_full), (S, T_full)).astype(jnp.int32)
-    h_full, _ = t3_backbone(params, cfg, x_full, pos, kv,
-                            jnp.zeros((S,), jnp.int32), mask, cos, sin)
+    h_full, _ = t3_prefill(params, cfg, x_full, pos, plen, kv, cos, sin)
 
-    # prefill 6 then decode 4
+    # prefill 6 then decode 4 one token at a time
     kv = KVCache.zeros(cfg, S, max_len, jnp.float32)
     T_pre = 6
     plen = jnp.full((S,), T_pre, jnp.int32)
-    mask = prefill_attn_mask(plen, T_pre, max_len)
-    h_pre, kv = t3_backbone(params, cfg, x_full[:, :T_pre], pos[:, :T_pre], kv,
-                            jnp.zeros((S,), jnp.int32), mask, cos, sin)
+    h_pre, kv = t3_prefill(params, cfg, x_full[:, :T_pre], pos[:, :T_pre],
+                           plen, kv, cos, sin)
     np.testing.assert_allclose(np.asarray(h_pre), np.asarray(h_full[:, :T_pre]),
                                rtol=2e-3, atol=1e-4)
 
     lengths = jnp.full((S,), T_pre, jnp.int32)
     for t in range(T_pre, T_full):
-        mask = decode_attn_mask(lengths, max_len)
-        h_t, kv = t3_backbone(params, cfg, x_full[:, t : t + 1],
-                              lengths[:, None].astype(jnp.int32), kv,
-                              lengths, mask, cos, sin)
-        np.testing.assert_allclose(np.asarray(h_t[:, 0]), np.asarray(h_full[:, t]),
+        h_t, kv = t3_decode(params, cfg, x_full[:, t], kv, lengths, cos, sin)
+        np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_full[:, t]),
                                    rtol=2e-3, atol=1e-4)
         lengths = lengths + 1
+
+
+def test_decode_cache_len_bucket_equivalence(tiny):
+    """Decoding with a tight static cache_len must equal full-cache decode."""
+    cfg, params = tiny
+    max_len, S, T_pre = 64, 2, 6
+    cos, sin = make_rope_tables(cfg, max_len)
+    x = jax.random.normal(jax.random.PRNGKey(2), (S, T_pre, cfg.hidden_size))
+    pos = jnp.broadcast_to(jnp.arange(T_pre), (S, T_pre)).astype(jnp.int32)
+    kv = KVCache.zeros(cfg, S, max_len, jnp.float32)
+    _, kv = t3_prefill(params, cfg, x, pos, jnp.full((S,), T_pre, jnp.int32),
+                       kv, cos, sin)
+    lengths = jnp.full((S,), T_pre, jnp.int32)
+    x_t = jax.random.normal(jax.random.PRNGKey(3), (S, cfg.hidden_size))
+    h_full, _ = t3_decode(params, cfg, x_t, kv, lengths, cos, sin)
+    h_tight, _ = t3_decode(params, cfg, x_t, kv, lengths, cos, sin,
+                           cache_len=8)
+    np.testing.assert_allclose(np.asarray(h_tight), np.asarray(h_full),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_cfg_combine():
@@ -117,3 +130,29 @@ def test_ragged_padding_never_leaks(tiny):
     both = eng.generate([short, long])
     alone = eng.generate([short])
     np.testing.assert_array_equal(both[0].tokens, alone[0].tokens)
+
+
+def test_per_request_seed_reproducible(tiny):
+    """Same seed -> same tokens, regardless of what else is in the batch
+    (ADVICE.md round 1: seeds must survive co-batching)."""
+    cfg, params = tiny
+    from chatterbox_vllm2_tpu.config import SamplingConfig
+    from chatterbox_vllm2_tpu.engine.engine import T3Engine, T3Request
+
+    config = Config(
+        t3=cfg,
+        engine=EngineConfig(max_batch_size=2, max_model_len=96,
+                            prefill_buckets=(16,), kv_cache_dtype="float32",
+                            enable_analyzer=False),
+    )
+    eng = T3Engine(config, params, compute_dtype=jnp.float32)
+    cond = np.random.RandomState(0).randn(cfg.cond_seq_len, cfg.hidden_size).astype(np.float32)
+    samp = SamplingConfig(temperature=0.9, top_p=0.95, repetition_penalty=1.3)
+    mk = lambda seed: T3Request(text_ids=np.arange(1, 9, dtype=np.int32),
+                                cond_emb=cond, sampling=samp,
+                                max_new_tokens=12, seed=seed)
+    other = T3Request(text_ids=np.arange(1, 5, dtype=np.int32), cond_emb=cond,
+                      sampling=samp, max_new_tokens=12, seed=999)
+    alone = eng.generate([mk(42)])
+    cobatched = eng.generate([other, mk(42)])
+    np.testing.assert_array_equal(alone[0].tokens, cobatched[1].tokens)
