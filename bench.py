@@ -1,13 +1,20 @@
 """Benchmark: T3 speech-token decode throughput on the local chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(plus secondary keys: per-stream tokens/s, T3 real-time-factor, decode-step ms).
 
 Baseline: the reference reports ~180 speech tokens/s end-to-end on an RTX 3090
 (reference README.md:325; BASELINE.md).  Weights are random (no checkpoints in
 this environment) — decode throughput is weight-value independent.
 
+Compile discipline: the persistent XLA cache is enabled (repo-local
+`.xla_cache`) and the engine uses the "single" cache-length schedule, so a
+cold run compiles exactly one prefill + one decode program and every warm run
+starts in seconds.
+
 Env knobs: BENCH_BATCH (CFG pairs, default 8), BENCH_TOKENS (default 256),
-BENCH_MAX_LEN (default 384).
+BENCH_MAX_LEN (default 384), BENCH_QUANT (none|int8|int4_awq, default none),
+BENCH_ENGINE (dense|paged, default dense).
 """
 
 import json
@@ -18,25 +25,41 @@ import time
 import numpy as np
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from chatterbox_vllm2_tpu.config import Config, EngineConfig, SamplingConfig, T3Config
-    from chatterbox_vllm2_tpu.engine import T3Engine, T3Request
+def build_engine(jax, jnp, B, max_len, quant_mode, engine_kind):
+    from chatterbox_vllm2_tpu.config import Config, EngineConfig, T3Config
     from chatterbox_vllm2_tpu.models.t3.model import init_t3_params
-
-    B = int(os.environ.get("BENCH_BATCH", 8))
-    n_tokens = int(os.environ.get("BENCH_TOKENS", 256))
-    max_len = int(os.environ.get("BENCH_MAX_LEN", 384))
 
     cfg = Config(
         t3=T3Config.multilingual(),
         engine=EngineConfig(max_batch_size=B, max_model_len=max_len,
-                            prefill_buckets=(64,)),
+                            prefill_buckets=(64,), quant_mode=quant_mode,
+                            cache_len_schedule="single"),
     )
     params = init_t3_params(jax.random.PRNGKey(0), cfg.t3, jnp.bfloat16)
-    eng = T3Engine(cfg, params)
+    if engine_kind == "paged":
+        from chatterbox_vllm2_tpu.engine.paged import PagedContinuousEngine
+        return PagedContinuousEngine(cfg, params)
+    from chatterbox_vllm2_tpu.engine import T3Engine
+    return T3Engine(cfg, params)
+
+
+def main() -> None:
+    from chatterbox_vllm2_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from chatterbox_vllm2_tpu.config import SamplingConfig
+    from chatterbox_vllm2_tpu.engine import T3Request
+
+    B = int(os.environ.get("BENCH_BATCH", 8))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", 256))
+    max_len = int(os.environ.get("BENCH_MAX_LEN", 384))
+    quant = os.environ.get("BENCH_QUANT", "none")
+    engine_kind = os.environ.get("BENCH_ENGINE", "dense")
+
+    eng = build_engine(jax, jnp, B, max_len, quant, engine_kind)
 
     rng = np.random.RandomState(0)
     # temperature>0 but repetition penalty active: realistic sampling cost;
@@ -59,12 +82,25 @@ def main() -> None:
     total = sum(len(r.tokens) + (1 if r.finished_by_stop else 0) for r in res)
     tps = total / dt
 
+    # T3-side real-time factor: 25 speech tokens == 1 s of audio
+    # (reference s3tokenizer.py:18).  Audio seconds generated per wall second.
+    audio_s = total / 25.0
+    per_stream = tps / B
+    steps = max(len(r.tokens) + (1 if r.finished_by_stop else 0) for r in res)
+    step_ms = 1000.0 * dt / max(steps, 1)
+
     baseline = 180.0  # reference README.md:325 (RTX 3090)
     print(json.dumps({
         "metric": "speech_tokens_per_s",
         "value": round(tps, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tps / baseline, 3),
+        "per_stream_tok_s": round(per_stream, 1),
+        "t3_rtf": round(dt / audio_s, 4),
+        "decode_step_ms": round(step_ms, 2),
+        "batch_pairs": B,
+        "quant_mode": quant,
+        "engine": engine_kind,
     }))
 
 

@@ -275,6 +275,16 @@ class EngineConfig:
     quant_mode: str = "none"            # none | int8 | int4_awq
     decode_steps_per_dispatch: int = 32  # tokens generated per host round-trip
     enable_analyzer: bool = True        # in-loop alignment stream analyzer
+    # engine flavor the pipeline/serving stack constructs:
+    #   "dense"      — barrier micro-batches over the slotted cache (T3Engine)
+    #   "continuous" — slot-level admission, requests join/leave mid-decode
+    #   "paged"      — continuous + paged KV pool + Pallas paged attention
+    engine_kind: str = "continuous"
+    # "bucketed": decode attention reads grow in CACHE_LEN_BUCKET steps as the
+    # batch lengthens (fastest steady state, but one compile per bucket
+    # reached).  "single": one decode program per generate() sized for the
+    # run's final length (one compile — what cold starts and benches want).
+    cache_len_schedule: str = "bucketed"
 
 
 @dataclass(frozen=True)
@@ -320,6 +330,7 @@ class Config:
             max_model_len=int(os.environ.get("CHATTERBOX_MAX_MODEL_LEN", 1024)),
             kv_cache_dtype=os.environ.get("CHATTERBOX_KV_CACHE_DTYPE", "bfloat16"),
             quant_mode=os.environ.get("CHATTERBOX_QUANT_MODE", "none"),
+            engine_kind=os.environ.get("CHATTERBOX_ENGINE", "continuous"),
         )
         srv = ServerConfig(
             host=os.environ.get("CHATTERBOX_HOST", "0.0.0.0"),

@@ -6,4 +6,4 @@
 """
 
 from .engine import T3Engine, T3Request, T3Result
-from .scheduler import ContinuousEngine
+from .scheduler import ContinuousEngine, make_engine

@@ -359,11 +359,14 @@ class T3Engine:
         cfg_scale_j = jnp.asarray(cfg_scale)
         text_len_j = jnp.asarray(text_len)
         base = int(cfg.cond_seq_len + text_len.max() + 1)
+        single = self.config.engine.cache_len_schedule == "single"
+        final_cache = self._cache_len(base + int(max_new.max()) + 1)
         progress = 0
         while True:
             if bool(np.all(jax.device_get(state.done))):
                 break
-            cache_len = self._cache_len(base + progress + steps + 1)
+            cache_len = final_cache if single else \
+                self._cache_len(base + progress + steps + 1)
             state = self._decode_chunk(
                 self.params, state, sampling, cfg_scale_j, max_new_j, text_len_j,
                 num_steps=steps, cache_len=cache_len,

@@ -500,3 +500,10 @@ class PagedContinuousEngine:
             if time.time() - t0 > timeout_s:
                 raise TimeoutError("paged engine did not drain")
         return [self._results.pop(r) for r in rids]
+
+    def generate(self, requests, seed: int = 0) -> list[T3Result]:
+        """Batch-API adapter matching `T3Engine.generate` (bench / tests)."""
+        for i, r in enumerate(requests):
+            if r.seed is None:
+                r.seed = seed + i
+        return self.run(requests)

@@ -270,3 +270,34 @@ class ContinuousEngine:
                     f"continuous engine did not drain in {timeout_s}s "
                     f"({len(self._active)} active, {len(self._pending)} pending)")
         return [self._results.pop(r) for r in rids]
+
+    def generate(self, requests, seed: int = 0) -> list[T3Result]:
+        """Batch-API adapter matching `T3Engine.generate` (pipeline / tests)."""
+        for i, r in enumerate(requests):
+            if r.seed is None:
+                r.seed = seed + i
+        return self.run(requests)
+
+
+def make_engine(config: Config, params: dict, *, compute_dtype=jnp.bfloat16,
+                mesh=None, logit_processor=None):
+    """Engine factory over `config.engine.engine_kind`.
+
+    "dense" is the barrier micro-batch engine, "continuous" adds slot-level
+    admission (requests join/leave mid-decode — what the reference gets
+    implicitly from vLLM, reference `tts.py:445-465`), "paged" additionally
+    swaps the slotted cache for the paged pool + Pallas attention."""
+    kind = config.engine.engine_kind
+    if kind == "paged":
+        from .paged import PagedContinuousEngine
+
+        return PagedContinuousEngine(config, params,
+                                     compute_dtype=compute_dtype,
+                                     logit_processor=logit_processor)
+    base = T3Engine(config, params, compute_dtype=compute_dtype, mesh=mesh,
+                    logit_processor=logit_processor)
+    if kind == "dense":
+        return base
+    if kind == "continuous":
+        return ContinuousEngine(base)
+    raise ValueError(f"unknown engine_kind '{kind}'")

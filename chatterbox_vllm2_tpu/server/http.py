@@ -180,6 +180,9 @@ def main() -> None:
     """Env-driven entry point (reference `api_server.py:114-158,341-353`)."""
     from ..config import Config
     from ..tts import ChatterboxTTS
+    from ..utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     host = os.environ.get("CHATTERBOX_HOST", "0.0.0.0")
     port = int(os.environ.get("CHATTERBOX_PORT", "8000"))

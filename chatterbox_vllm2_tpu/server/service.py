@@ -173,6 +173,12 @@ class TTSService:
         return jobs
 
     def _run(self) -> None:
+        # Continuous engines (submit/step) get the streaming loop: requests
+        # join the device batch mid-decode of others.  The dense barrier
+        # engine falls back to micro-batches.
+        if hasattr(self.model.engine, "submit"):
+            self._run_continuous()
+            return
         while not self._stop.is_set():
             jobs = self._drain_batch()
             if not jobs:
@@ -185,31 +191,112 @@ class TTSService:
                         j.error = e
                         j.done.set()
 
+    # -------------------------- continuous path ------------------------ #
+
+    def _prep_job(self, j: _Job):
+        """Tokenize + conditioning for one job; returns (T3Request, conds)."""
+        model = self.model
+        conds = model.get_audio_conditionals(j.wav_path)
+        cond_emb = model.update_exaggeration(conds, j.request.exaggeration)
+        ids = np.asarray(
+            model.tokenizer.encode(
+                punc_norm(j.request.input),
+                j.language_id if model.variant == "multilingual" else None),
+            np.int32)
+        sampling = SamplingConfig(
+            temperature=j.request.temperature,
+            top_p=j.request.top_p, min_p=j.request.min_p,
+            repetition_penalty=j.request.repetition_penalty,
+            max_tokens=j.request.max_tokens,
+            cfg_scale=j.request.cfg_scale,
+        )
+        return T3Request(text_ids=ids, cond_emb=cond_emb, sampling=sampling,
+                         max_new_tokens=j.request.max_tokens,
+                         seed=j.request.seed), conds
+
+    def _finish_job(self, j: _Job, conds, res, t3_time: float) -> None:
+        """S3Gen + encode for one finished T3 result."""
+        model = self.model
+        vocab = model.config.s3gen.speech_vocab_size
+        s0 = time.time()
+        try:
+            toks = res.tokens
+            toks = toks[(toks >= 0) & (toks < vocab)]
+            wav = (model.s3gen.inference(
+                       toks, conds.ref,
+                       n_timesteps=j.request.diffusion_steps,
+                       seed=j.request.seed if j.request.seed is not None else 0)
+                   if len(toks) else np.zeros(0, np.float32))
+            j.audio, j.media_type = encode_audio(
+                wav, model.SR, j.request.response_format)
+            s3_time = time.time() - s0
+            j.metrics = {
+                "speech_tokens": int(len(toks)),
+                "t3_time_s": round(t3_time, 3),
+                "s3gen_time_s": round(s3_time, 3),
+                "audio_s": round(len(wav) / model.SR, 3),
+                "language": j.language_id,
+            }
+            with self._counters_lock:
+                self._counters["requests_total"] += 1
+                self._counters["speech_tokens_total"] += int(len(toks))
+                self._counters["audio_seconds_total"] += len(wav) / model.SR
+                self._counters["s3gen_seconds_total"] += s3_time
+                self._counters["t3_seconds_total"] += t3_time
+        except Exception as e:
+            j.error = e
+        finally:
+            j.done.set()
+
+    def _run_continuous(self) -> None:
+        engine = self.model.engine
+        inflight: dict[str, tuple[_Job, object]] = {}  # rid -> (job, conds)
+        while not self._stop.is_set():
+            # pull new jobs; block only when fully idle
+            block = not inflight and not engine.has_work
+            while True:
+                try:
+                    job = (self._queue.get(timeout=0.25) if block
+                           else self._queue.get_nowait())
+                except queue.Empty:
+                    break
+                if job is None:
+                    if self._stop.is_set():
+                        return
+                    break
+                block = False
+                try:
+                    req, conds = self._prep_job(job)
+                    rid = engine.submit(req)
+                    inflight[rid] = (job, conds)
+                except Exception as e:   # per-job prep failure
+                    job.error = e
+                    job.done.set()
+            if not engine.has_work:
+                continue
+            try:
+                for res in engine.step():
+                    entry = inflight.pop(res.request_id, None)
+                    if entry is None:
+                        continue
+                    j, conds = entry
+                    self._finish_job(j, conds, res, res.t3_time_s)
+            except Exception as e:       # engine-level failure fails inflight
+                for rid, (j, _) in list(inflight.items()):
+                    if j.error is None and j.audio is None:
+                        j.error = e
+                        j.done.set()
+                inflight.clear()
+
     def _process(self, jobs: list[_Job]) -> None:
+        """Barrier micro-batch path (engine_kind="dense")."""
         model = self.model
         t0 = time.time()
         requests, conds_list, live = [], [], []
         for j in jobs:
             try:
-                conds = model.get_audio_conditionals(j.wav_path)
-                cond_emb = model.update_exaggeration(conds,
-                                                     j.request.exaggeration)
-                ids = np.asarray(
-                    model.tokenizer.encode(
-                        punc_norm(j.request.input),
-                        j.language_id if model.variant == "multilingual"
-                        else None),
-                    np.int32)
-                sampling = SamplingConfig(
-                    temperature=j.request.temperature,
-                    top_p=j.request.top_p, min_p=j.request.min_p,
-                    repetition_penalty=j.request.repetition_penalty,
-                    max_tokens=j.request.max_tokens,
-                    cfg_scale=j.request.cfg_scale,
-                )
-                requests.append(T3Request(
-                    text_ids=ids, cond_emb=cond_emb, sampling=sampling,
-                    max_new_tokens=j.request.max_tokens))
+                req, conds = self._prep_job(j)
+                requests.append(req)
                 conds_list.append(conds)
                 live.append(j)
             except Exception as e:  # per-job prep failure: fail only that job
@@ -218,42 +305,7 @@ class TTSService:
         if not live:
             return
 
-        results = model.engine.generate(requests,
-                                        seed=live[0].request.seed)
+        results = model.engine.generate(requests)
         t3_time = time.time() - t0
-
-        vocab = model.config.s3gen.speech_vocab_size
-        total_tokens = 0
         for j, conds, res in zip(live, conds_list, results):
-            s0 = time.time()
-            try:
-                toks = res.tokens
-                toks = toks[(toks >= 0) & (toks < vocab)]
-                total_tokens += len(toks)
-                wav = (model.s3gen.inference(
-                           toks, conds.ref,
-                           n_timesteps=j.request.diffusion_steps,
-                           seed=j.request.seed)
-                       if len(toks) else np.zeros(0, np.float32))
-                j.audio, j.media_type = encode_audio(
-                    wav, model.SR, j.request.response_format)
-                s3_time = time.time() - s0
-                j.metrics = {
-                    "speech_tokens": int(len(toks)),
-                    "t3_time_s": round(t3_time, 3),
-                    "s3gen_time_s": round(s3_time, 3),
-                    "audio_s": round(len(wav) / model.SR, 3),
-                    "batch_size": len(live),
-                    "language": j.language_id,
-                }
-                with self._counters_lock:
-                    self._counters["requests_total"] += 1
-                    self._counters["speech_tokens_total"] += int(len(toks))
-                    self._counters["audio_seconds_total"] += len(wav) / model.SR
-                    self._counters["s3gen_seconds_total"] += s3_time
-            except Exception as e:
-                j.error = e
-            finally:
-                j.done.set()
-        with self._counters_lock:
-            self._counters["t3_seconds_total"] += t3_time
+            self._finish_job(j, conds, res, t3_time)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import Config, SamplingConfig, T3Config
-from .engine import T3Engine, T3Request
+from .engine import T3Request, make_engine
 from .frontend.audio import read_wav, resample, trim_silence
 from .frontend.text import SUPPORTED_LANGUAGES, detect_language, punc_norm
 from .frontend.tokenizer import SpeechTextTokenizer
@@ -71,7 +71,9 @@ class ChatterboxTTS:
         self.tokenizer = tokenizer
         self.default_conds = default_conds
         self.variant = "multilingual" if config.t3.is_multilingual else "english"
-        self.engine = T3Engine(config, t3_params, compute_dtype=compute_dtype)
+        # engine_kind selects dense / continuous / paged (config.py); serving
+        # defaults to the continuous engine so requests join mid-decode
+        self.engine = make_engine(config, t3_params, compute_dtype=compute_dtype)
         self._cond_cache: dict = {}
         self.metrics: dict = {}
 
