@@ -35,7 +35,7 @@ def build_engine(jax, jnp, B, max_len, quant_mode, engine_kind):
                             prefill_buckets=(64,), quant_mode=quant_mode,
                             cache_len_schedule="single"),
     )
-    params = init_t3_params(jax.random.PRNGKey(0), cfg.t3, jnp.bfloat16)
+    params = init_t3_params(0, cfg.t3, jnp.bfloat16)
     if engine_kind == "paged":
         from chatterbox_vllm2_tpu.engine.paged import PagedContinuousEngine
         return PagedContinuousEngine(cfg, params)
@@ -44,6 +44,14 @@ def build_engine(jax, jnp, B, max_len, quant_mode, engine_kind):
 
 
 def main() -> None:
+    t_start = time.time()
+    verbose = os.environ.get("BENCH_VERBOSE")
+
+    def mark(msg):
+        if verbose:
+            print(f"[{time.time()-t_start:7.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
     from chatterbox_vllm2_tpu.utils.jit_cache import enable_persistent_cache
     enable_persistent_cache()
 
@@ -58,8 +66,10 @@ def main() -> None:
     max_len = int(os.environ.get("BENCH_MAX_LEN", 384))
     quant = os.environ.get("BENCH_QUANT", "none")
     engine_kind = os.environ.get("BENCH_ENGINE", "dense")
+    mark("imports done")
 
     eng = build_engine(jax, jnp, B, max_len, quant, engine_kind)
+    mark("engine built")
 
     rng = np.random.RandomState(0)
     # temperature>0 but repetition penalty active: realistic sampling cost;
@@ -76,6 +86,7 @@ def main() -> None:
     ]
 
     eng.generate(reqs)  # compile + warm
+    mark("warm generate done")
     t0 = time.time()
     res = eng.generate(reqs, seed=1)
     dt = time.time() - t0

@@ -285,6 +285,10 @@ class EngineConfig:
     # reached).  "single": one decode program per generate() sized for the
     # run's final length (one compile — what cold starts and benches want).
     cache_len_schedule: str = "bucketed"
+    # "scan": backbone layers run as lax.scan over stacked params (one layer
+    # body to compile — fast cold start through the slow axon compile path).
+    # "unroll": static Python loop (bigger program, slightly faster step).
+    layer_mode: str = "scan"
 
 
 @dataclass(frozen=True)

@@ -200,7 +200,8 @@ class T3Engine:
         )
         kv = KVCache.zeros(cfg, S, self.max_len, self._kv_dtype())
         hidden, kv = t3_prefill(
-            params, cfg, embeds, positions, prefill_len, kv, *self._rope
+            params, cfg, embeds, positions, prefill_len, kv, *self._rope,
+            layer_mode=self.config.engine.layer_mode,
         )
         last = hidden[jnp.arange(S), prefill_len - 1]            # [S, h]
         logits = cfg_combine(
@@ -237,6 +238,7 @@ class T3Engine:
         hidden, kv = t3_decode(
             params, cfg, embeds, state.kv, state.lengths, *self._rope,
             cache_len=cache_len,
+            layer_mode=self.config.engine.layer_mode,
         )
         logits = cfg_combine(
             speech_logits(params, hidden, cfg.speech_vocab_size), cfg_scale)

@@ -248,7 +248,8 @@ class PagedContinuousEngine:
         T = embeds.shape[1]
         kv = KVCache.zeros(cfg, 2, T, jnp.bfloat16)
         hidden, kv = t3_prefill(
-            params, cfg, embeds, positions, prefill_len, kv, *self._rope)
+            params, cfg, embeds, positions, prefill_len, kv, *self._rope,
+            layer_mode=self.config.engine.layer_mode)
         last = hidden[jnp.arange(2), prefill_len - 1]
         logits = cfg_combine(
             speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)

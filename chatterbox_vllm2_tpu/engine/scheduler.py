@@ -113,7 +113,7 @@ class ContinuousEngine:
         kv = KVCache.zeros(cfg, 2, T, self.engine._kv_dtype())
         hidden, kv = t3_prefill(
             params, cfg, embeds, positions, prefill_len, kv,
-            *self.engine._rope)
+            *self.engine._rope, layer_mode=self.config.engine.layer_mode)
         last = hidden[jnp.arange(2), prefill_len - 1]
         logits = cfg_combine(
             speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)

@@ -69,10 +69,13 @@ class MelExtractor:
         f = np.arange(F)[:, None]
         ang = 2.0 * np.pi * f * n[None, :] / n_fft
         w = _hann(win)
-        # fold the window into the DFT matrices
-        self.cos_m = jnp.asarray((np.cos(ang) * w[None, :]).astype(np.float32))
-        self.sin_m = jnp.asarray((np.sin(ang) * w[None, :]).astype(np.float32))
-        self.mel_m = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+        # fold the window into the DFT matrices.  Kept as HOST arrays: if this
+        # op is ever closed over by a jit, device-resident constants force a
+        # device->host download at lowering time (slow through the tunnel);
+        # numpy embeds by value instead.
+        self.cos_m = (np.cos(ang) * w[None, :]).astype(np.float32)
+        self.sin_m = (np.sin(ang) * w[None, :]).astype(np.float32)
+        self.mel_m = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
 
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
         """y: [B, T] in [-1, 1] -> log-mel [B, n_mels, n_frames],

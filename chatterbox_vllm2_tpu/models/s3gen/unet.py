@@ -113,7 +113,8 @@ def transformer_block_apply(p, x, heads, mask_bias=None):
 
 
 def init_unet(key, cfg: UNetConfig, dtype=jnp.float32) -> dict:
-    keys = iter(jax.random.split(key, 64))
+    # each down/mid/up stage consumes 5 keys (resnet + 4 transformer blocks)
+    keys = iter(jax.random.split(key, 5 * (cfg.num_mid_blocks + 2) + 8))
     ch = cfg.channels
     time_dim = ch * 4
 

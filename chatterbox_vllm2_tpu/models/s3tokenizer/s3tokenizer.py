@@ -71,7 +71,8 @@ def sinusoids(length: int, channels: int) -> np.ndarray:
 
 def init_s3tokenizer(key: jax.Array, cfg: S3TokenizerConfig = S3TokenizerConfig(),
                      dtype=jnp.float32) -> dict:
-    keys = iter(jax.random.split(key, 64))
+    # each block consumes 7 keys; +4 singles
+    keys = iter(jax.random.split(key, 7 * cfg.n_audio_layer + 4))
     d, h = cfg.n_audio_state, cfg.n_audio_head
 
     def block():

@@ -58,8 +58,12 @@ from ...ops.rotary import apply_rope, rope_table
 # ---------------------------------------------------------------------------
 
 
-def _dense_init(key, shape, dtype, scale=0.02):
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+def _dense_init(rng: np.random.Generator, shape, dtype, scale=0.02):
+    """Host-side init + upload.  Numpy on purpose: jitted `jax.random.normal`
+    would compile a remote program per leaf through the axon tunnel; host
+    generation + device_put rides the fast upload path instead."""
+    return jnp.asarray(
+        (rng.standard_normal(shape, np.float32) * scale), dtype=dtype)
 
 
 def fuse_qkv(q: np.ndarray, k: np.ndarray, v: np.ndarray, cfg: T3Config) -> np.ndarray:
@@ -89,31 +93,37 @@ def init_t3_params(key: jax.Array, cfg: T3Config, dtype=jnp.float32) -> dict:
     Real checkpoints are loaded by `utils/checkpoint.py`, which maps the
     reference safetensors names onto this tree (fusing QKV and gate/up).
     """
-    keys = iter(jax.random.split(key, 16))
+    if isinstance(key, (int, np.integer)):   # avoid any device round-trip
+        seed = int(key)
+    else:
+        seed = int(np.asarray(jax.random.key_data(
+            key if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key) else
+            jax.random.wrap_key_data(key))).ravel()[-1])
+    rng = np.random.Generator(np.random.PCG64(seed))
     h, nh, hd, inter = cfg.hidden_size, cfg.num_heads, cfg.head_dim, cfg.intermediate_size
     L = cfg.num_layers
 
-    def stack(k, shape):
-        return _dense_init(k, (L,) + shape, dtype)
+    def stack(shape):
+        return _dense_init(rng, (L,) + shape, dtype)
 
     layers = {
         "input_norm": jnp.ones((L, h), dtype),
-        "qkv_proj": stack(next(keys), (h, nh * 3 * hd)),
-        "o_proj": stack(next(keys), (nh * hd, h)),
+        "qkv_proj": stack((h, nh * 3 * hd)),
+        "o_proj": stack((nh * hd, h)),
         "post_norm": jnp.ones((L, h), dtype),
-        "gate_up_proj": stack(next(keys), (h, 2 * inter)),
-        "down_proj": stack(next(keys), (inter, h)),
+        "gate_up_proj": stack((h, 2 * inter)),
+        "down_proj": stack((inter, h)),
     }
     return {
         "layers": layers,
         "final_norm": jnp.ones((h,), dtype),
-        "text_emb": _dense_init(next(keys), (cfg.text_vocab_size, h), dtype),
-        "speech_emb": _dense_init(next(keys), (cfg.speech_vocab_size, h), dtype),
+        "text_emb": _dense_init(rng, (cfg.text_vocab_size, h), dtype),
+        "speech_emb": _dense_init(rng, (cfg.speech_vocab_size, h), dtype),
         # reference sizes: max_text_tokens+2 and max_speech_tokens+4
         # (`models/t3/t3.py:280-284`)
-        "text_pos_emb": _dense_init(next(keys), (cfg.max_text_tokens + 2, h), dtype),
-        "speech_pos_emb": _dense_init(next(keys), (cfg.max_speech_tokens + 4, h), dtype),
-        "speech_head": _dense_init(next(keys), (h, cfg.speech_vocab_padded), dtype),
+        "text_pos_emb": _dense_init(rng, (cfg.max_text_tokens + 2, h), dtype),
+        "speech_pos_emb": _dense_init(rng, (cfg.max_speech_tokens + 4, h), dtype),
+        "speech_head": _dense_init(rng, (h, cfg.speech_vocab_padded), dtype),
     }
 
 
@@ -166,6 +176,34 @@ def _mlp(lp: dict, y: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _prefill_layer(lp, x, mask, positions, rope_cos, rope_sin, cfg, k_out, v_out):
+    """One prefill layer.  Returns (x, k [S,H,T,D], v [S,H,T,D])."""
+    S, T, _ = x.shape
+    scale = cfg.head_dim ** -0.5
+    neg_inf = jnp.asarray(-1e30, jnp.float32)
+    resid = x
+    y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+    q, k, v = _qkv(lp, y, cfg)                      # [S, T, nh, hd]
+    q = apply_rope(q, rope_cos, rope_sin, positions)
+    k = apply_rope(k, rope_cos, rope_sin, positions)
+
+    scores = jnp.einsum("sthd,smhd->shtm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(mask[:, None, :, :], scores, neg_inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("shtm,smhd->sthd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(S, T, cfg.num_heads * cfg.head_dim)
+    x = resid + quant_einsum(out, lp["o_proj"])
+
+    resid = x
+    y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+    x = resid + _mlp(lp, y)
+    return (x,
+            k.transpose(0, 2, 1, 3).astype(k_out),
+            v.transpose(0, 2, 1, 3).astype(v_out))
+
+
 def t3_prefill(
     params: dict,
     cfg: T3Config,
@@ -175,6 +213,8 @@ def t3_prefill(
     kv: KVCache,                 # cache with max_len >= T; written at offset 0
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
+    *,
+    layer_mode: str = "scan",
 ) -> tuple[jnp.ndarray, KVCache]:
     """Run the backbone over a fresh sequence and write K/V at cache offset 0.
 
@@ -182,42 +222,38 @@ def t3_prefill(
     prior cache), so cost is O(T^2) — independent of max_model_len, unlike a
     full-cache mask (the fix for round-1's 256-token bucket cap; reference
     supports max_text_tokens=2048, `models/t3/modules/t3_config.py:5`).
+
+    layer_mode "scan" runs the 30 layers as a `lax.scan` over the stacked
+    layer params (compiles a single layer body — ~30x smaller program, which
+    matters through the slow axon compile tunnel); "unroll" is a static
+    Python loop (marginally faster steady-state, 30x the compile time).
     """
     x = embeds
     S, T, h = x.shape
-    scale = cfg.head_dim ** -0.5
-    neg_inf = jnp.asarray(-1e30, jnp.float32)
     t_idx = jnp.arange(T)
     # [S, T, T]: query t attends key m iff m <= t and m < prefill_len
     mask = (t_idx[None, None, :] <= t_idx[None, :, None]) & \
            (t_idx[None, None, :] < prefill_len[:, None, None])
     k_cache, v_cache = kv.k, kv.v
 
-    for l in range(cfg.num_layers):
-        lp = _layer_params(params, l)
-        resid = x
-        y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp, y, cfg)                      # [S, T, nh, hd]
-        q = apply_rope(q, rope_cos, rope_sin, positions)
-        k = apply_rope(k, rope_cos, rope_sin, positions)
+    if layer_mode == "scan":
+        def body(x, lp):
+            x, k, v = _prefill_layer(lp, x, mask, positions, rope_cos,
+                                     rope_sin, cfg, k_cache.dtype, v_cache.dtype)
+            return x, (k, v)
 
-        k_cache = k_cache.at[l, :, :, :T, :].set(
-            k.transpose(0, 2, 1, 3).astype(k_cache.dtype))
-        v_cache = v_cache.at[l, :, :, :T, :].set(
-            v.transpose(0, 2, 1, 3).astype(v_cache.dtype))
-
-        scores = jnp.einsum("sthd,smhd->shtm", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask[:, None, :, :], scores, neg_inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("shtm,smhd->sthd", probs.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        out = out.reshape(S, T, cfg.num_heads * cfg.head_dim)
-        x = resid + quant_einsum(out, lp["o_proj"])
-
-        resid = x
-        y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        x = resid + _mlp(lp, y)
+        x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, ks, (0, 0, 0, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, vs, (0, 0, 0, 0, 0))
+    else:
+        for l in range(cfg.num_layers):
+            lp = _layer_params(params, l)
+            x, k, v = _prefill_layer(lp, x, mask, positions, rope_cos,
+                                     rope_sin, cfg, k_cache.dtype, v_cache.dtype)
+            k_cache = k_cache.at[l, :, :, :T, :].set(k)
+            v_cache = v_cache.at[l, :, :, :T, :].set(v)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, KVCache(k_cache, v_cache)
@@ -226,6 +262,23 @@ def t3_prefill(
 # ---------------------------------------------------------------------------
 # Decode: single token per stream, in-place cache append, bucketed reads
 # ---------------------------------------------------------------------------
+
+
+def _decode_layer(lp, x, q_pos_args, mask, M, cfg, kk, vv):
+    """One decode layer given that layer's cache views kk/vv [S, H, M, D]
+    (already containing this step's K/V at `lengths`).  Returns x."""
+    S, h = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    scale = hd ** -0.5
+    neg_inf = jnp.asarray(-1e30, jnp.float32)
+    q = q_pos_args
+    scores = jnp.einsum("shd,shmd->shm", q, kk,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(mask[:, None, :], scores, neg_inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("shm,shmd->shd", probs.astype(vv.dtype), vv,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return quant_einsum(out.reshape(S, nh * hd), lp["o_proj"])
 
 
 def t3_decode(
@@ -238,44 +291,65 @@ def t3_decode(
     rope_sin: jnp.ndarray,
     *,
     cache_len: Optional[int] = None,   # static read bound; None = max_len
+    layer_mode: str = "scan",
 ) -> tuple[jnp.ndarray, KVCache]:
     """One decode step over all streams.  The new token's K/V is appended at
     `lengths` in place; attention reads cache[:cache_len] with a length mask.
-    The caller guarantees max(lengths) < cache_len."""
+    The caller guarantees max(lengths) < cache_len.
+
+    layer_mode "scan" runs the layers as `lax.scan` with the KV cache as
+    *carry* (per-layer reads are dynamic slices, writes are in-place scatters
+    — NOT the round-1 design that passed the cache through scan xs/ys and
+    copied it every step).  "unroll" is the static Python loop.
+    """
     S, h = x.shape
-    nh, hd = cfg.num_heads, cfg.head_dim
-    scale = hd ** -0.5
-    neg_inf = jnp.asarray(-1e30, jnp.float32)
     M = cache_len if cache_len is not None else kv.k.shape[3]
     rows = jnp.arange(S)
     mask = jnp.arange(M)[None, :] <= lengths[:, None]          # [S, M]
     k_cache, v_cache = kv.k, kv.v
+    pos = lengths[:, None]
 
-    for l in range(cfg.num_layers):
-        lp = _layer_params(params, l)
-        resid = x
+    def attn_qkv(lp, x):
         y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp, y, cfg)                              # [S, nh, hd]
-        pos = lengths[:, None]
+        q, k, v = _qkv(lp, y, cfg)                             # [S, nh, hd]
         q = apply_rope(q[:, None], rope_cos, rope_sin, pos)[:, 0]
         k = apply_rope(k[:, None], rope_cos, rope_sin, pos)[:, 0]
+        return q, k, v
 
-        k_cache = k_cache.at[l, rows, :, lengths, :].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[l, rows, :, lengths, :].set(v.astype(v_cache.dtype))
-        kk = k_cache[l, :, :, :M, :]                            # [S, H, M, D]
-        vv = v_cache[l, :, :, :M, :]
+    if layer_mode == "scan":
+        def body(carry, inputs):
+            x, k_cache, v_cache = carry
+            lp, l = inputs
+            q, k, v = attn_qkv(lp, x)
+            k_cache = k_cache.at[l, rows, :, lengths, :].set(
+                k.astype(k_cache.dtype))
+            v_cache = v_cache.at[l, rows, :, lengths, :].set(
+                v.astype(v_cache.dtype))
+            kk = jax.lax.dynamic_index_in_dim(k_cache, l, 0,
+                                              keepdims=False)[:, :, :M, :]
+            vv = jax.lax.dynamic_index_in_dim(v_cache, l, 0,
+                                              keepdims=False)[:, :, :M, :]
+            x = x + _decode_layer(lp, x, q, mask, M, cfg, kk, vv)
+            y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+            x = x + _mlp(lp, y)
+            return (x, k_cache, v_cache), None
 
-        scores = jnp.einsum("shd,shmd->shm", q, kk,
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask[:, None, :], scores, neg_inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("shm,shmd->shd", probs.astype(vv.dtype), vv,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        x = resid + quant_einsum(out.reshape(S, nh * hd), lp["o_proj"])
-
-        resid = x
-        y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
-        x = resid + _mlp(lp, y)
+        (x, k_cache, v_cache), _ = jax.lax.scan(
+            body, (x, k_cache, v_cache),
+            (params["layers"], jnp.arange(cfg.num_layers)))
+    else:
+        for l in range(cfg.num_layers):
+            lp = _layer_params(params, l)
+            q, k, v = attn_qkv(lp, x)
+            k_cache = k_cache.at[l, rows, :, lengths, :].set(
+                k.astype(k_cache.dtype))
+            v_cache = v_cache.at[l, rows, :, lengths, :].set(
+                v.astype(v_cache.dtype))
+            kk = k_cache[l, :, :, :M, :]                       # [S, H, M, D]
+            vv = v_cache[l, :, :, :M, :]
+            x = x + _decode_layer(lp, x, q, mask, M, cfg, kk, vv)
+            y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
+            x = x + _mlp(lp, y)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, KVCache(k_cache, v_cache)

@@ -40,12 +40,18 @@ def llama3_inv_freq(head_dim: int, cfg: RopeConfig) -> np.ndarray:
     return scaled.astype(np.float32)
 
 
-def rope_table(head_dim: int, max_len: int, cfg: RopeConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(cos, sin) tables of shape [max_len, head_dim // 2], float32."""
+def rope_table(head_dim: int, max_len: int, cfg: RopeConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) tables of shape [max_len, head_dim // 2], float32.
+
+    Returned as HOST (numpy) arrays on purpose: they are closure constants of
+    the jitted prefill/decode programs, and MLIR lowering embeds constants by
+    value — a device-resident constant forces a device->host download at
+    *lowering* time, which through the axon tunnel can stall for minutes.
+    """
     inv_freq = llama3_inv_freq(head_dim, cfg)
     t = np.arange(max_len, dtype=np.float32)
     freqs = np.outer(t, inv_freq)
-    return jnp.asarray(np.cos(freqs)), jnp.asarray(np.sin(freqs))
+    return np.cos(freqs), np.sin(freqs)
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
@@ -53,11 +59,11 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     """Rotate q or k.
 
     x:         [..., T, H, D]  (positions index the T axis)
-    cos/sin:   [max_len, D//2]
+    cos/sin:   [max_len, D//2] (numpy or jax; numpy embeds as a host literal)
     positions: [..., T] int32
     """
-    c = cos[positions][..., None, :]   # [..., T, 1, D//2]
-    s = sin[positions][..., None, :]
+    c = jnp.asarray(cos)[positions][..., None, :]   # [..., T, 1, D//2]
+    s = jnp.asarray(sin)[positions][..., None, :]
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
     return out.astype(x.dtype)

@@ -35,6 +35,17 @@ from .models.voice_encoder import embeds_from_wavs, init_voice_encoder
 S3GEN_SR = 24_000
 S3_SR = 16_000
 
+# Reference hub coordinates (reference `tts.py:26,217-245`): pinned revisions
+# so a deployment never silently picks up new weights.
+HF_REPO_ID = "ResembleAI/chatterbox"
+HF_REVISION_EN = "1b475dffa71fb191cb6d5901215eb6f55635a9b6"
+HF_REVISION_MTL = "05e904af2b5c7f8e482687a9d7336c5c824467d9"
+_FILES_EN = ("ve.safetensors", "t3_cfg.safetensors", "s3gen.safetensors",
+             "tokenizer.json", "conds.pt")
+_FILES_MTL = ("ve.safetensors", "t3_mtl23ls_v2.safetensors",
+              "s3gen.safetensors", "grapheme_mtl_merged_expanded_v1.json",
+              "conds.pt", "Cangjie5_TC.json")
+
 
 @dataclass
 class Conditionals:
@@ -157,9 +168,112 @@ class ChatterboxTTS:
             tokenizer = SpeechTextTokenizer(
                 str(ckpt_dir / vocab_name),
                 cangjie_path=str(cangjie) if cangjie.exists() else None)
-        return cls(config, t3_params=t3_params, cond_enc_params=cond_params,
-                   s3gen_engine=s3gen_engine, ve_params=ve_params,
-                   tokenizer=tokenizer, compute_dtype=compute_dtype)
+        model = cls(config, t3_params=t3_params, cond_enc_params=cond_params,
+                    s3gen_engine=s3gen_engine, ve_params=ve_params,
+                    tokenizer=tokenizer, compute_dtype=compute_dtype)
+        conds_pt = ckpt_dir / "conds.pt"
+        if conds_pt.exists():
+            try:
+                model.load_default_conds(conds_pt)
+            except Exception as e:  # voice-free serving degrades, not dies
+                print(f"[WARNING] could not load default voice conds.pt: {e}")
+        return model
+
+    @classmethod
+    def from_pretrained(cls, repo_id: str = HF_REPO_ID,
+                        revision: str = HF_REVISION_EN,
+                        config: Optional[Config] = None,
+                        compute_dtype=jnp.bfloat16) -> "ChatterboxTTS":
+        """Download the pinned-revision English checkpoint from the HF hub and
+        load it (reference `tts.py:218-231`).  Offline fallback:
+        $CHATTERBOX_CKPT_DIR, then the standard HF cache."""
+        ckpt_dir = cls._resolve_pretrained(repo_id, revision, _FILES_EN)
+        return cls.from_local(ckpt_dir, config=config,
+                              compute_dtype=compute_dtype)
+
+    @classmethod
+    def from_pretrained_multilingual(cls, repo_id: str = HF_REPO_ID,
+                                     revision: str = HF_REVISION_MTL,
+                                     config: Optional[Config] = None,
+                                     compute_dtype=jnp.bfloat16) -> "ChatterboxTTS":
+        """Multilingual twin of `from_pretrained` (reference `tts.py:234-245`)."""
+        ckpt_dir = cls._resolve_pretrained(repo_id, revision, _FILES_MTL)
+        return cls.from_local(ckpt_dir, config=config,
+                              compute_dtype=compute_dtype)
+
+    @staticmethod
+    def _resolve_pretrained(repo_id: str, revision: str, files) -> Path:
+        """hf_hub_download every checkpoint file at the pinned revision; if
+        the hub is unreachable (or huggingface_hub absent), fall back to
+        $CHATTERBOX_CKPT_DIR or an already-populated HF cache.  No symlink
+        shims — our loader reads the files where they land (the reference
+        must symlink `model.safetensors` into a fake model dir for vLLM,
+        `tts.py:225-229`)."""
+        import os
+
+        env_dir = os.environ.get("CHATTERBOX_CKPT_DIR")
+        try:
+            from huggingface_hub import hf_hub_download
+
+            local_path = None
+            for fname in files:
+                local_path = hf_hub_download(repo_id=repo_id, filename=fname,
+                                             revision=revision)
+            return Path(local_path).parent
+        except Exception as e:
+            if env_dir and Path(env_dir).exists():
+                print(f"[WARNING] hub download failed ({e}); using "
+                      f"CHATTERBOX_CKPT_DIR={env_dir}")
+                return Path(env_dir)
+            # last resort: look for a previously-downloaded snapshot
+            try:
+                from huggingface_hub import snapshot_download
+
+                return Path(snapshot_download(repo_id=repo_id,
+                                              revision=revision,
+                                              local_files_only=True))
+            except Exception:
+                raise RuntimeError(
+                    f"cannot fetch {repo_id}@{revision}: {e}. Set "
+                    f"CHATTERBOX_CKPT_DIR to a local checkpoint directory."
+                ) from e
+
+    def load_default_conds(self, path: Union[str, Path]) -> None:
+        """Load the reference's pickled default voice (`conds.pt`,
+        reference `Conditionals.load` `tts.py:54-58`) so requests without a
+        reference wav work out of the box.
+
+        The file stores {"t3": {speaker_emb, cond_prompt_speech_tokens,
+        emotion_adv, ...}, "gen": {prompt_token, prompt_feat, embedding, ...}}
+        as torch tensors; we convert to numpy and rebuild the cond prefix with
+        our own cond encoder."""
+        import torch
+
+        kw = torch.load(path, map_location="cpu", weights_only=True)
+
+        def np_of(x):
+            return x.detach().cpu().numpy() if torch.is_tensor(x) else np.asarray(x)
+
+        t3c = kw["t3"]
+        gen = kw["gen"]
+        speaker_emb = np_of(t3c["speaker_emb"]).reshape(-1).astype(np.float32)
+        prompt_tokens = np_of(t3c["cond_prompt_speech_tokens"]).reshape(-1)
+        emotion = float(np_of(t3c.get("emotion_adv", 0.5)).reshape(-1)[0])
+
+        cfg = self.t3cfg
+        pt = np.zeros((cfg.speech_cond_prompt_len,), np.int32)
+        n = min(len(prompt_tokens), cfg.speech_cond_prompt_len)
+        pt[:n] = prompt_tokens[:n]
+        cond_emb = self._build_cond_emb(speaker_emb, pt, emotion)
+
+        ref = RefDict(
+            prompt_token=np_of(gen["prompt_token"]).reshape(-1).astype(np.int32),
+            prompt_feat=np_of(gen["prompt_feat"]).reshape(
+                -1, self.config.s3gen.mel_bins).astype(np.float32),
+            embedding=np_of(gen["embedding"]).reshape(-1).astype(np.float32),
+        )
+        self.default_conds = Conditionals(cond_emb=cond_emb,
+                                          speaker_emb=speaker_emb, ref=ref)
 
     # ------------------------------------------------------------------ #
     # conditioning
