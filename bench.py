@@ -13,8 +13,9 @@ cold run compiles exactly one prefill + one decode program and every warm run
 starts in seconds.
 
 Env knobs: BENCH_BATCH (CFG pairs, default 8), BENCH_TOKENS (default 256),
-BENCH_MAX_LEN (default 384), BENCH_QUANT (none|int8|int4_awq, default none),
-BENCH_ENGINE (dense|paged, default dense).
+BENCH_MAX_LEN (default 384), BENCH_QUANT (none|int8|int4_awq, default int8 —
+the production serving config; measured on v5e: int8 987 tok/s > int4_awq
+940 > bf16 815, see BENCH_NOTES.md), BENCH_ENGINE (dense|paged, default dense).
 """
 
 import json
@@ -64,7 +65,7 @@ def main() -> None:
     B = int(os.environ.get("BENCH_BATCH", 8))
     n_tokens = int(os.environ.get("BENCH_TOKENS", 256))
     max_len = int(os.environ.get("BENCH_MAX_LEN", 384))
-    quant = os.environ.get("BENCH_QUANT", "none")
+    quant = os.environ.get("BENCH_QUANT", "int8")
     engine_kind = os.environ.get("BENCH_ENGINE", "dense")
     mark("imports done")
 

@@ -61,9 +61,9 @@ from ...ops.rotary import apply_rope, rope_table
 def _dense_init(rng: np.random.Generator, shape, dtype, scale=0.02):
     """Host-side init + upload.  Numpy on purpose: jitted `jax.random.normal`
     would compile a remote program per leaf through the axon tunnel; host
-    generation + device_put rides the fast upload path instead."""
-    return jnp.asarray(
-        (rng.standard_normal(shape, np.float32) * scale), dtype=dtype)
+    generation + device_put rides the fast upload path instead.  The dtype
+    cast happens on device — numpy's ml_dtypes bfloat16 conversion is slow."""
+    return jnp.asarray(rng.standard_normal(shape, np.float32) * scale).astype(dtype)
 
 
 def fuse_qkv(q: np.ndarray, k: np.ndarray, v: np.ndarray, cfg: T3Config) -> np.ndarray:

@@ -74,8 +74,56 @@ class QuantTensor:
 Weight = Union[jnp.ndarray, QuantTensor]
 
 
+def _quantize_device(w: jax.Array, bits: int, group_size: int) -> QuantTensor:
+    """On-device quantization of a [K, N] or stacked [L, K, N] weight.
+
+    Used when the weight already lives on the device: `np.asarray` would pull
+    it through the tunnel's slow device->host path (minutes per GB); a small
+    jitted program quantizes it in HBM instead."""
+
+    @functools.partial(jax.jit, static_argnames=("bits", "group_size"))
+    def go(w, bits, group_size):
+        w = w.astype(jnp.float32)
+        stacked = w.ndim == 3
+        if not stacked:
+            w = w[None]
+        L, K, N = w.shape
+        if bits == 8:
+            s = jnp.maximum(jnp.abs(w).max(axis=1, keepdims=True) / 127.0, 1e-10)
+            q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+            if not stacked:
+                return q[0], s[0], None
+            return q, s, None
+        G = K // group_size
+        grp = w.reshape(L, G, group_size, N)
+        wmin = grp.min(axis=2, keepdims=True)
+        wmax = grp.max(axis=2, keepdims=True)
+        scale = jnp.maximum((wmax - wmin) / 15.0, 1e-10)
+        zero = -wmin / scale
+        q = jnp.clip(jnp.round(grp / scale + zero), 0, 15)
+        q = q.reshape(L, K, N).astype(jnp.uint8)
+        packed = q[:, : K // 2] | (q[:, K // 2:] << 4)          # concat halves
+        scales = scale[:, :, 0, :]
+        zeros = zero[:, :, 0, :]
+        if not stacked:
+            return packed[0], scales[0], zeros[0]
+        return packed, scales, zeros
+
+    if bits == 4:
+        K = w.shape[-2]
+        assert K % (2 * group_size) == 0, (K, group_size)
+    data, scales, zeros = go(w, bits, group_size)
+    return QuantTensor(data, scales, zeros, bits,
+                       group_size if bits == 4 else w.shape[-2])
+
+
 def quantize_tensor(w, bits: int = 4, group_size: int = 128) -> QuantTensor:
-    """Quantize a dense [K, N] (or stacked [L, K, N]) weight, host-side."""
+    """Quantize a dense [K, N] (or stacked [L, K, N]) weight.
+
+    Device arrays are quantized on-device (no tunnel download); numpy goes
+    through the host reference path below (tests, checkpoint conversion)."""
+    if isinstance(w, jax.Array):
+        return _quantize_device(w, bits, group_size)
     w = np.asarray(w, np.float32)
     if w.ndim == 3:
         parts = [quantize_tensor(w[i], bits, group_size) for i in range(w.shape[0])]
@@ -147,11 +195,12 @@ def _qmm4_kernel(x_ref, p_ref, s_ref, z_ref, o_ref, *, k: int, group_size: int):
     num_groups = k // G
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     for g in range(num_groups):
+        # Mosaic can't cast uint8->float32 directly; widen to int32 first.
         if g < half // G:
-            rows = p_ref[g * G:(g + 1) * G, :]
+            rows = p_ref[g * G:(g + 1) * G, :].astype(jnp.int32)
             wq = (rows & 0xF).astype(jnp.float32)
         else:
-            rows = p_ref[g * G - half:(g + 1) * G - half, :]
+            rows = p_ref[g * G - half:(g + 1) * G - half, :].astype(jnp.int32)
             wq = (rows >> 4).astype(jnp.float32)
         s = s_ref[g, :][None, :]
         z = z_ref[g, :][None, :]
