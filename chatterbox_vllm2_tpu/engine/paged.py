@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import os
 import time
 from collections import deque
 from typing import NamedTuple, Optional
@@ -168,10 +169,8 @@ class PagedContinuousEngine:
         self.max_out = ecfg.max_model_len
         self.bs = ecfg.kv_block_size
         self.NB = -(-self.max_len // self.bs)
-        # default pool: 75% of the dense equivalent — paging's win is that
-        # streams share it by actual length, not worst case
-        self.P = num_pages or max(self.S * self.NB * 3 // 4, 2 * self.NB)
         self.quantized = ecfg.kv_cache_dtype == "int8"
+        self.P = num_pages or self._size_pool()
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
         self.alloc = make_block_allocator(self.P, self.S, self.NB)
@@ -203,6 +202,30 @@ class PagedContinuousEngine:
 
     def _kv_dtype(self):
         return jnp.int8 if self.quantized else jnp.bfloat16
+
+    def _size_pool(self) -> int:
+        """Size the page pool from live HBM stats (the analog of the
+        reference sizing its KV cache from free VRAM, reference
+        `tts.py:139-155`): weights are already resident at this point, so
+        `bytes_limit - bytes_in_use` is the real budget.  Falls back to 75%
+        of the dense-equivalent footprint when stats are unavailable
+        (CPU/interpret runs)."""
+        cfg = self.t3cfg
+        per_tok = cfg.num_layers * cfg.num_kv_heads * cfg.head_dim
+        page_bytes = 2 * per_tok * self.bs * (1 if self.quantized else 2)
+        if self.quantized:   # + f32 scale per (layer, token, head) for k and v
+            page_bytes += 2 * cfg.num_layers * cfg.num_kv_heads * self.bs * 4
+        floor = max(2 * self.NB, 4)
+        cap = self.S * self.NB                      # dense equivalent
+        util = float(os.environ.get("CHATTERBOX_HBM_UTILIZATION", 0.85))
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            budget = stats["bytes_limit"] * util - stats["bytes_in_use"]
+            if budget <= 0:
+                return floor
+            return int(min(max(budget // page_bytes, floor), cap))
+        except Exception:
+            return max(cap * 3 // 4, floor)
 
     def _empty_state(self) -> PagedDecodeState:
         cfg, B, S = self.t3cfg, self.B, self.S

@@ -179,10 +179,12 @@ def serve_in_thread(service: TTSService, host: str = "127.0.0.1",
 def main() -> None:
     """Env-driven entry point (reference `api_server.py:114-158,341-353`)."""
     from ..config import Config
+    from ..parallel import initialize as init_distributed
     from ..tts import ChatterboxTTS
     from ..utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    init_distributed()   # no-op single-host; jax.distributed on pod slices
 
     host = os.environ.get("CHATTERBOX_HOST", "0.0.0.0")
     port = int(os.environ.get("CHATTERBOX_PORT", "8000"))
@@ -216,3 +218,7 @@ def main() -> None:
     finally:
         service.shutdown()
         srv.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,102 +1,105 @@
-"""Roofline probe: time the raw T3 decode chunk on the attached chip.
+"""Roofline harness for the T3 decode step on the local chip.
 
-Breaks the decode step into pieces so we can see where time goes vs
-speed-of-light (v5e: ~819 GB/s HBM, ~197 bf16 TFLOP/s).
+Measures the per-step wall time of the jitted decode chunk at several batch
+sizes / cache lengths / quant modes and compares against the HBM roofline
+(weight bytes + KV read bytes per step over ~819 GB/s on v5e), printing the
+achieved fraction of speed-of-light.  Usage:
+
+    python scripts/profile_decode.py [quant_mode] [--trace DIR]
+
+With --trace, wraps the steady-state run in jax.profiler for xprof analysis.
 """
+
 import os
-import pathlib
 import sys
 import time
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chatterbox_vllm2_tpu.utils.jit_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from chatterbox_vllm2_tpu.config import Config, EngineConfig, T3Config
+from chatterbox_vllm2_tpu.config import Config, EngineConfig, SamplingConfig, T3Config
 from chatterbox_vllm2_tpu.engine import T3Engine, T3Request
-from chatterbox_vllm2_tpu.engine.engine import DecodeState
-from chatterbox_vllm2_tpu.models.t3.model import KVCache, init_t3_params, make_rope_tables, t3_backbone, build_decode_embeds, decode_attn_mask
-from chatterbox_vllm2_tpu.ops.sampling import SamplingState
+from chatterbox_vllm2_tpu.models.t3.model import init_t3_params
 
-B = int(os.environ.get("B", 8))
-MAX_LEN = int(os.environ.get("MAX_LEN", 384))
-STEPS = int(os.environ.get("STEPS", 8))
-S = 2 * B
+HBM_GBPS = 819.0  # v5e
 
-t3 = T3Config.multilingual()
-cfg = Config(t3=t3, engine=EngineConfig(max_batch_size=B, max_model_len=MAX_LEN,
-                                        prefill_buckets=(64,),
-                                        decode_steps_per_dispatch=STEPS))
-params = init_t3_params(jax.random.PRNGKey(0), t3, jnp.bfloat16)
-eng = T3Engine(cfg, params)
 
-# --- raw backbone step (no sampling/analyzer) --------------------------------
-cos, sin = make_rope_tables(t3, MAX_LEN)
+def weight_bytes(cfg: T3Config, quant: str) -> int:
+    per_param = {"none": 2, "int8": 1, "int4_awq": 0.5}[quant]
+    h, nh, hd, inter = (cfg.hidden_size, cfg.num_heads, cfg.head_dim,
+                        cfg.intermediate_size)
+    L = cfg.num_layers
+    lin = L * (h * nh * 3 * hd + nh * hd * h + h * 2 * inter + inter * h)
+    head = h * cfg.speech_vocab_padded
+    emb = cfg.speech_vocab_size * h * 2  # speech emb gather + pos emb (bf16)
+    return int(lin * per_param + head * per_param + emb * 0.01)
 
-def backbone_only(params, kv, lengths):
-    embeds = build_decode_embeds(params, t3, jnp.zeros((S,), jnp.int32),
-                                 jnp.ones((S,), jnp.int32), jnp.bfloat16)
-    mask = decode_attn_mask(lengths, MAX_LEN)
-    hidden, kv = t3_backbone(params, t3, embeds, lengths[:, None].astype(jnp.int32),
-                             kv, lengths, mask, cos, sin)
-    return hidden, kv
 
-def backbone_scan(params, kv, lengths, n):
-    def step(carry, _):
-        kv, lengths = carry
-        h, kv = backbone_only(params, kv, lengths)
-        return (kv, lengths + 1), h[0, 0, 0]
-    (kv, lengths), hs = jax.lax.scan(step, (kv, lengths), None, length=n)
-    return kv, hs
+def kv_bytes(cfg: T3Config, S: int, cache_len: int, dtype_bytes: int = 2) -> int:
+    return 2 * cfg.num_layers * S * cfg.num_kv_heads * cache_len * cfg.head_dim * dtype_bytes
 
-bs_jit = jax.jit(backbone_scan, static_argnames=("n",), donate_argnums=(1,))
 
-kv = KVCache.zeros(t3, S, MAX_LEN, jnp.bfloat16)
-lengths = jnp.full((S,), 100, jnp.int32)
-kv, hs = bs_jit(params, kv, lengths, STEPS)
-jax.block_until_ready(hs)
-N = 64
-t0 = time.perf_counter()
-for _ in range(N // STEPS):
-    kv, hs = bs_jit(params, kv, lengths, STEPS)
-jax.block_until_ready(hs)
-dt = (time.perf_counter() - t0) / N
-w_gb = 0.52e9 * 2 / 1e9
-kv_gb = S * MAX_LEN * t3.num_kv_heads * t3.head_dim * 2 * 2 * t3.num_layers / 1e9
-print(f"backbone-only step: {dt*1e3:.3f} ms  -> {1/dt:.0f} steps/s")
-print(f"  weights {w_gb:.2f} GB + kv(full) {kv_gb:.2f} GB = {(w_gb+kv_gb):.2f} GB")
-print(f"  implied BW {(w_gb+kv_gb)/dt:.0f} GB/s  (v5e SoL ~819)")
+def main() -> None:
+    quant = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
+        else "none"
+    trace_dir = None
+    if "--trace" in sys.argv:
+        trace_dir = sys.argv[sys.argv.index("--trace") + 1]
 
-# --- full engine decode chunk ------------------------------------------------
-sampling = SamplingState.broadcast(B, temperature=0.8, top_p=0.8,
-                                   repetition_penalty=2.0)
-state = DecodeState(
-    kv=KVCache.zeros(t3, S, MAX_LEN, jnp.bfloat16),
-    lengths=jnp.full((S,), 100, jnp.int32),
-    speech_pos=jnp.ones((B,), jnp.int32),
-    last_token=jnp.zeros((B,), jnp.int32),
-    prev_tokens=jnp.full((B, 2), -1, jnp.int32),
-    completed_at=jnp.full((B,), -1, jnp.int32),
-    seen=jnp.zeros((B, t3.speech_vocab_size), bool),
-    done=jnp.zeros((B,), bool),
-    stopped=jnp.zeros((B,), bool),
-    n_generated=jnp.ones((B,), jnp.int32),
-    out_tokens=jnp.zeros((B, MAX_LEN), jnp.int32),
-    key=jax.random.PRNGKey(0),
-)
-cfg_scale = jnp.full((B,), 0.5, jnp.float32)
-max_new = jnp.full((B,), 10**9, jnp.int32)
-text_len = jnp.full((B,), 40, jnp.int32)
-state = eng._decode_chunk(params, state, sampling, cfg_scale, max_new, text_len,
-                          num_steps=STEPS)
-jax.block_until_ready(state.out_tokens)
-t0 = time.perf_counter()
-for _ in range(N // STEPS):
-    state = eng._decode_chunk(params, state, sampling, cfg_scale, max_new,
-                              text_len, num_steps=STEPS)
-jax.block_until_ready(state.out_tokens)
-dt = (time.perf_counter() - t0) / N
-print(f"engine decode step: {dt*1e3:.3f} ms  -> {1/dt:.0f} steps/s "
-      f"({B}-pair aggregate {B/dt:.0f} tok/s)")
+    t3 = T3Config.multilingual()
+    max_len = 384
+    rows = []
+    for B in (1, 4, 8):
+        cfg = Config(
+            t3=t3,
+            engine=EngineConfig(max_batch_size=B, max_model_len=max_len,
+                                prefill_buckets=(64,), quant_mode=quant,
+                                cache_len_schedule="single"),
+        )
+        params = init_t3_params(0, t3, jnp.bfloat16)
+        eng = T3Engine(cfg, params)
+        rng = np.random.RandomState(0)
+        reqs = [
+            T3Request(
+                text_ids=rng.randint(1, 2454, size=40).astype(np.int32),
+                cond_emb=(rng.randn(34, 1024) * 0.02).astype(np.float32),
+                sampling=SamplingConfig(temperature=0.8, top_p=0.8,
+                                        repetition_penalty=2.0),
+                max_new_tokens=256,
+            )
+            for _ in range(B)
+        ]
+        eng.generate(reqs)                      # compile + warm
+        if trace_dir and B == 8:
+            jax.profiler.start_trace(trace_dir)
+        t0 = time.time()
+        res = eng.generate(reqs, seed=1)
+        dt = time.time() - t0
+        if trace_dir and B == 8:
+            jax.profiler.stop_trace()
+        steps = max(len(r.tokens) + (1 if r.finished_by_stop else 0) for r in res)
+        total = sum(len(r.tokens) + (1 if r.finished_by_stop else 0) for r in res)
+        step_ms = 1000.0 * dt / max(steps, 1)
+
+        wb = weight_bytes(t3, quant)
+        kb = kv_bytes(t3, 2 * B, max_len)
+        roofline_ms = (wb + kb) / (HBM_GBPS * 1e9) * 1000.0
+        rows.append((B, total / dt, step_ms, roofline_ms,
+                     roofline_ms / step_ms))
+
+    print(f"\nquant={quant}  (roofline = (weights {weight_bytes(t3, quant)/1e9:.2f} GB"
+          f" + KV reads)/ {HBM_GBPS:.0f} GB/s)")
+    print(f"{'pairs':>5} {'tok/s':>8} {'step ms':>8} {'SoL ms':>8} {'SoL frac':>8}")
+    for B, tps, ms, roof, frac in rows:
+        print(f"{B:>5} {tps:>8.1f} {ms:>8.2f} {roof:>8.2f} {frac:>8.1%}")
+
+
+if __name__ == "__main__":
+    main()
