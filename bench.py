@@ -44,6 +44,51 @@ def build_engine(jax, jnp, B, max_len, quant_mode, engine_kind):
     return T3Engine(cfg, params)
 
 
+def bench_e2e(jax, jnp, eng, t3_results, t3_dt, mark):
+    """End-to-end phase: vocode the T3 results with the full-size S3Gen and
+    report RTF (wall seconds per audio second) and TTFA (time to first
+    audio: one utterance's T3 + S3Gen latency)."""
+    import numpy as np
+
+    from chatterbox_vllm2_tpu.models.s3gen.s3gen import (
+        RefDict,
+        S3GenEngine,
+        init_s3gen_params,
+    )
+    from chatterbox_vllm2_tpu.config import S3GenConfig
+
+    cfg = S3GenConfig()
+    params = init_s3gen_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    s3 = S3GenEngine(params, cfg, token_buckets=(128, 256, 384),
+                     max_prompt_tokens=64)
+    rng = np.random.RandomState(0)
+    n_prompt = 50
+    ref = RefDict(
+        prompt_token=rng.randint(0, 6561, n_prompt).astype(np.int32),
+        prompt_feat=(rng.randn(2 * n_prompt, 80) * 0.1).astype(np.float32),
+        embedding=rng.randn(192).astype(np.float32),
+    )
+    items = [(np.clip(r.tokens, 0, 6560), ref) for r in t3_results
+             if len(r.tokens)]
+    s3.inference_batch(items[:1], n_timesteps=10, seeds=[0])   # compile+warm
+    mark("s3gen compiled")
+    t0 = time.time()
+    wavs = s3.inference_batch(items, n_timesteps=10,
+                              seeds=list(range(len(items))))
+    s3_dt = time.time() - t0
+    audio_s = sum(len(w) for w in wavs) / 24000.0
+    # TTFA: batch-1 T3 latency share + one-sample vocode
+    t0 = time.time()
+    s3.inference_batch(items[:1], n_timesteps=10, seeds=[0])
+    one_s3 = time.time() - t0
+    return {
+        "e2e_rtf": round((t3_dt + s3_dt) / max(audio_s, 1e-9), 4),
+        "audio_s": round(audio_s, 2),
+        "s3gen_s": round(s3_dt, 2),
+        "ttfa_s": round(t3_dt + one_s3, 2),
+    }
+
+
 def main() -> None:
     t_start = time.time()
     verbose = os.environ.get("BENCH_VERBOSE")
@@ -94,6 +139,10 @@ def main() -> None:
     total = sum(len(r.tokens) + (1 if r.finished_by_stop else 0) for r in res)
     tps = total / dt
 
+    e2e = {}
+    if os.environ.get("BENCH_E2E") == "1":
+        e2e = bench_e2e(jax, jnp, eng, res, dt, mark)
+
     # T3-side real-time factor: 25 speech tokens == 1 s of audio
     # (reference s3tokenizer.py:18).  Audio seconds generated per wall second.
     audio_s = total / 25.0
@@ -113,6 +162,7 @@ def main() -> None:
         "batch_pairs": B,
         "quant_mode": quant,
         "engine": engine_kind,
+        **e2e,
     }))
 
 

@@ -272,7 +272,11 @@ class EngineConfig:
     prefill_buckets: tuple = (64, 128, 256, 512, 1024, 2048)
     kv_block_size: int = 16
     kv_cache_dtype: str = "bfloat16"    # or "int8" (paged engine)
-    quant_mode: str = "none"            # none | int8 | int4_awq
+    quant_mode: str = "none"            # none | int8 | int4_awq (T3 backbone)
+    # quantize the audio-stack linears too (reference bnb swap for
+    # S3Gen/voice-encoder/cond-enc, `quantization.py:80-139`, `tts.py:119-205`)
+    quantize_s3gen: bool = False
+    quantize_voice_encoder: bool = False
     decode_steps_per_dispatch: int = 32  # tokens generated per host round-trip
     enable_analyzer: bool = True        # in-loop alignment stream analyzer
     # engine flavor the pipeline/serving stack constructs:
@@ -334,6 +338,10 @@ class Config:
             max_model_len=int(os.environ.get("CHATTERBOX_MAX_MODEL_LEN", 1024)),
             kv_cache_dtype=os.environ.get("CHATTERBOX_KV_CACHE_DTYPE", "bfloat16"),
             quant_mode=os.environ.get("CHATTERBOX_QUANT_MODE", "none"),
+            quantize_s3gen=os.environ.get(
+                "CHATTERBOX_QUANTIZE_S3GEN", "").lower() in ("1", "true"),
+            quantize_voice_encoder=os.environ.get(
+                "CHATTERBOX_QUANTIZE_VOICE_ENCODER", "").lower() in ("1", "true"),
             engine_kind=os.environ.get("CHATTERBOX_ENGINE", "continuous"),
         )
         srv = ServerConfig(

@@ -130,16 +130,30 @@ def sine_source(
     waves [B, T_wav, H+1] (reference `hifigan.py:200-231`)."""
     H = cfg.nb_harmonics + 1
     B, T = f0_up.shape
-    k_phase, k_noise = jax.random.split(key)
+    per_row = (jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key)
+               and key.ndim == 1)
+    if per_row:
+        # per-row keys: each sample's phase/noise depends only on its own
+        # key (and its static mel bucket), so a seeded request reproduces
+        # regardless of what it is batched with
+        def draw(k):
+            kp, kn = jax.random.split(k)
+            ph = jax.random.uniform(kp, (H, 1), jnp.float32, -np.pi, np.pi)
+            return ph.at[0].set(0.0), jax.random.normal(kn, (H, T), jnp.float32)
+
+        phase, noise_u = jax.vmap(draw)(key)                         # [B,H,1],[B,H,T]
+    else:
+        k_phase, k_noise = jax.random.split(key)
+        phase = jax.random.uniform(k_phase, (B, H, 1), jnp.float32, -np.pi, np.pi)
+        phase = phase.at[:, 0, :].set(0.0)
+        noise_u = jax.random.normal(k_noise, (B, H, T), jnp.float32)
     harmonics = jnp.arange(1, H + 1, dtype=jnp.float32)[None, :, None]
     F_mat = f0_up[:, None, :] * harmonics / cfg.sampling_rate       # [B, H, T]
     theta = 2.0 * np.pi * (jnp.cumsum(F_mat, axis=-1) % 1.0)
-    phase = jax.random.uniform(k_phase, (B, H, 1), jnp.float32, -np.pi, np.pi)
-    phase = phase.at[:, 0, :].set(0.0)
     sine = cfg.nsf_alpha * jnp.sin(theta + phase)
     uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)[:, None, :]
     noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
-    noise = noise_amp * jax.random.normal(k_noise, sine.shape, jnp.float32)
+    noise = noise_amp * noise_u
     return (sine * uv + noise).transpose(0, 2, 1)                    # [B, T, H]
 
 

@@ -13,9 +13,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.quant_matmul import QuantTensor, quant_einsum
+
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"]
+    """Dense or weight-quantized linear: `w` may be a QuantTensor (the
+    analog of the reference's bitsandbytes nn.Linear swap for the audio
+    stack, reference `quantization.py:80-139`)."""
+    w = p["w"]
+    y = quant_einsum(x, w) if isinstance(w, QuantTensor) else x @ w
     return y + p["b"] if "b" in p else y
 
 

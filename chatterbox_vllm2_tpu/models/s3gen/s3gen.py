@@ -65,8 +65,11 @@ class S3GenEngine:
         self.s3tok = s3tok_model
         max_T = self.token_buckets[-1]
         table_len = 2 * max_T + 8
-        self._pos_table = jnp.asarray(espnet_rel_pos_table(cfg.encoder.output_size,
-                                                           table_len))
+        # numpy on purpose: this is a closure constant of the jitted flow —
+        # device-resident constants force a device->host download at MLIR
+        # lowering time (minutes through the axon tunnel)
+        self._pos_table = np.asarray(espnet_rel_pos_table(cfg.encoder.output_size,
+                                                          table_len))
         self._pos_table_len = table_len
         self.mel_extractor = MelExtractor(cfg.sample_rate, cfg.mel_n_fft, cfg.mel_bins,
                                           cfg.mel_hop, cfg.mel_n_fft,
@@ -151,44 +154,105 @@ class S3GenEngine:
     ) -> np.ndarray:
         """One utterance -> wav float32 [n * 960] at 24 kHz
         (2 mel frames/token * 480 samples/frame)."""
-        cfg = self.cfg
-        prompt = ref.prompt_token
-        n_gen = len(speech_tokens)
-        total = len(prompt) + n_gen
-        T_b = self._bucket(total)
+        return self.inference_batch([(speech_tokens, ref)], n_timesteps,
+                                    seeds=[seed], no_trim=no_trim)[0]
 
-        tokens = np.zeros((1, T_b), np.int32)
-        tokens[0, : len(prompt)] = prompt
-        tokens[0, len(prompt) : total] = speech_tokens
-        mask = np.zeros((1, T_b), bool)
-        mask[0, :total] = True
+    BATCH_BUCKETS = (1, 2, 4, 8)
+
+    def _batch_bucket(self, n: int) -> int:
+        for b in self.BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return self.BATCH_BUCKETS[-1]
+
+    def inference_batch(
+        self,
+        items: list,                   # [(speech_tokens [n] int32, RefDict)]
+        n_timesteps: int = 10,
+        seeds: list | None = None,
+        no_trim: bool = False,
+    ) -> list:
+        """Vectorized synthesis: same-token-bucket utterances share one flow
+        dispatch and same-mel-bucket utterances share one HiFT dispatch.
+
+        The reference runs S3Gen strictly serially per utterance (reference
+        `tts.py:474-521`); here B utterances cost ~one utterance of wall
+        time per bucket group.  Per-sample PRNG keys keep seeded requests
+        reproducible regardless of co-batched traffic (noise depends only on
+        (seed, own mel bucket)).
+        """
+        cfg = self.cfg
+        if seeds is None:
+            seeds = [0] * len(items)
+        n_items = len(items)
+        if n_items == 0:
+            return []
+
+        # ---- group by flow token bucket --------------------------------- #
+        meta = []   # (idx, tokens, ref, total, T_bucket)
+        for i, (toks, ref) in enumerate(items):
+            total = len(ref.prompt_token) + len(toks)
+            meta.append((i, toks, ref, total, self._bucket(total)))
+        wavs: list = [None] * n_items
+        gen_mels: dict = {}            # idx -> [80, 2*n_gen] numpy
 
         P_max = 2 * self.max_prompt_tokens
-        pf = np.zeros((1, P_max, cfg.mel_bins), np.float32)
-        pf[0, : ref.prompt_feat.shape[0]] = ref.prompt_feat
-        p_len = np.asarray([ref.prompt_feat.shape[0]], np.int32)
+        by_bucket: dict = {}
+        for m in meta:
+            by_bucket.setdefault(m[4], []).append(m)
+        for T_b, group in by_bucket.items():
+            for j in range(0, len(group), self.BATCH_BUCKETS[-1]):
+                chunk = group[j:j + self.BATCH_BUCKETS[-1]]
+                B = self._batch_bucket(len(chunk))
+                tokens = np.zeros((B, T_b), np.int32)
+                mask = np.zeros((B, T_b), bool)
+                pf = np.zeros((B, P_max, cfg.mel_bins), np.float32)
+                p_len = np.zeros((B,), np.int32)
+                emb = np.zeros((B, cfg.spk_embed_dim), np.float32)
+                for r, (i, toks, ref, total, _) in enumerate(chunk):
+                    np_ = len(ref.prompt_token)
+                    tokens[r, :np_] = ref.prompt_token
+                    tokens[r, np_:total] = toks
+                    mask[r, :total] = True
+                    pf[r, : ref.prompt_feat.shape[0]] = ref.prompt_feat
+                    p_len[r] = ref.prompt_feat.shape[0]
+                    emb[r] = ref.embedding
+                mel_full = np.asarray(self._flow_fn(T_b, n_timesteps)(
+                    jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(pf),
+                    jnp.asarray(p_len), jnp.asarray(emb)))   # [B, 80, 2*T_b]
+                for r, (i, toks, ref, total, _) in enumerate(chunk):
+                    start = ref.prompt_feat.shape[0]
+                    gen_mels[i] = mel_full[r, :, start: start + 2 * len(toks)]
 
-        mel_full = self._flow_fn(T_b, n_timesteps)(
-            jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(pf),
-            jnp.asarray(p_len), jnp.asarray(ref.embedding[None]),
-        )
-        mel_full = np.asarray(mel_full)                        # [1, 80, 2*T_b]
-        start = ref.prompt_feat.shape[0]
-        gen_mel = mel_full[:, :, start : start + 2 * n_gen]
-
-        # pad generated mel to a bucket with edge-replication for HiFT
-        M = gen_mel.shape[-1]
-        M_b = self._bucket_mel(M)
-        if M_b > M:
-            pad = np.repeat(gen_mel[:, :, -1:], M_b - M, axis=-1)
-            gen_mel = np.concatenate([gen_mel, pad], axis=-1)
-
-        wav, _ = self._hift_fn(M_b)(jnp.asarray(gen_mel), jax.random.PRNGKey(seed))
-        wav = np.array(wav)[0, : M * 480]
-        if not no_trim:
-            n = min(len(self._trim_fade), len(wav))
-            wav[:n] *= self._trim_fade[:n]
-        return wav.astype(np.float32)
+        # ---- group by HiFT mel bucket ----------------------------------- #
+        by_mel: dict = {}
+        for i in range(n_items):
+            M = gen_mels[i].shape[-1]
+            by_mel.setdefault(self._bucket_mel(M), []).append(i)
+        for M_b, idxs in by_mel.items():
+            for j in range(0, len(idxs), self.BATCH_BUCKETS[-1]):
+                chunk = idxs[j:j + self.BATCH_BUCKETS[-1]]
+                B = self._batch_bucket(len(chunk))
+                mel = np.zeros((B, cfg.mel_bins, M_b), np.float32)
+                for r, i in enumerate(chunk):
+                    g = gen_mels[i]
+                    mel[r, :, : g.shape[-1]] = g
+                    if g.shape[-1] < M_b:   # edge-replicate pad
+                        mel[r, :, g.shape[-1]:] = g[:, -1:]
+                row_seeds = jnp.asarray(
+                    [seeds[i] if i < len(seeds) else 0 for i in chunk]
+                    + [0] * (B - len(chunk)), jnp.uint32)
+                keys = jax.vmap(jax.random.key)(row_seeds)   # typed keys [B]
+                wav_b, _ = self._hift_fn(M_b)(jnp.asarray(mel), keys)
+                wav_b = np.asarray(wav_b)
+                for r, i in enumerate(chunk):
+                    M = gen_mels[i].shape[-1]
+                    wav = wav_b[r, : M * 480].copy()
+                    if not no_trim:
+                        n = min(len(self._trim_fade), len(wav))
+                        wav[:n] *= self._trim_fade[:n]
+                    wavs[i] = wav.astype(np.float32)
+        return wavs
 
     def _bucket_mel(self, m: int) -> int:
         for b in self.token_buckets:

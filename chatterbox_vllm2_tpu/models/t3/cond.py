@@ -51,7 +51,10 @@ def init_cond_enc_params(key: jax.Array, cfg: T3Config, dtype=jnp.float32) -> di
 
 
 def _linear(p, x):
-    y = x @ p["w"]
+    from ...ops.quant_matmul import QuantTensor, quant_einsum
+
+    w = p["w"]
+    y = quant_einsum(x, w) if isinstance(w, QuantTensor) else x @ w
     return y + p["b"] if "b" in p else y
 
 

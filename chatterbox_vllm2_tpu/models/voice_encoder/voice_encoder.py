@@ -115,7 +115,12 @@ def voice_encoder_forward(params: dict, mels: jnp.ndarray,
     h_last = None
     for layer in params["lstm"]:
         x, h_last = _lstm_layer_apply(layer, x)
-    raw = x[:, -1, :] @ params["proj"]["w"] + params["proj"]["b"]
+    from ...ops.quant_matmul import QuantTensor, quant_einsum
+
+    w = params["proj"]["w"]
+    last = x[:, -1, :]
+    raw = (quant_einsum(last, w) if isinstance(w, QuantTensor)
+           else last @ w) + params["proj"]["b"]
     if final_relu:
         raw = jax.nn.relu(raw)
     norm = jnp.sqrt(jnp.sum(raw * raw, axis=1, keepdims=True))

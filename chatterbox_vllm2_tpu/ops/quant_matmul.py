@@ -287,6 +287,46 @@ def quant_einsum(x: jnp.ndarray, w: Weight, *,
 T3_QUANT_KEYS = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
 
 
+def quantize_linears(tree, mode: str, *, min_dim: int = 256,
+                     group_size: int = 128):
+    """Recursively swap every qualifying linear weight in a parameter tree
+    for a QuantTensor — the one-mechanism analog of the reference's
+    bitsandbytes Linear swap for cond-enc / voice-encoder / S3Gen
+    (reference `quantization.py:29-139`, applied `tts.py:119-205`).
+
+    A leaf qualifies when it is the "w" of a {w[, b]} linear dict, 2-D, with
+    both dims >= min_dim (tiny projections aren't worth the dequant cost —
+    mirrors bnb skipping small layers).  INT4 additionally requires
+    K % (2*group_size) == 0 (the concat-halves packing); non-conforming
+    weights fall back to INT8.  Convs and norms stay dense, matching the
+    reference (bnb only swaps nn.Linear).
+    """
+    if mode in ("none", None, ""):
+        return tree
+    bits = {"int8": 8, "int4_awq": 4, "int4": 4}[mode]
+
+    def visit(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (k == "w" and hasattr(v, "ndim") and v.ndim == 2
+                        and not isinstance(v, QuantTensor)
+                        and min(v.shape) >= min_dim):
+                    b = bits
+                    if b == 4 and v.shape[0] % (2 * group_size) != 0:
+                        b = 8
+                    out[k] = quantize_tensor(v, bits=b, group_size=group_size)
+                else:
+                    out[k] = visit(v)
+            return out
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(visit(v) for v in node)
+        return node
+
+    return visit(tree)
+
+
 def quantize_t3_params(params: dict, mode: str, group_size: int = 128) -> dict:
     """Swap the T3 backbone matmul weights (and lm head) for QuantTensors.
 

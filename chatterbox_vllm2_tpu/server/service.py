@@ -216,37 +216,68 @@ class TTSService:
 
     def _finish_job(self, j: _Job, conds, res, t3_time: float) -> None:
         """S3Gen + encode for one finished T3 result."""
+        self._finish_jobs([(j, conds, res, t3_time)])
+
+    def _finish_jobs(self, entries) -> None:
+        """Batched vocoding + per-job encode for finished T3 results.
+
+        entries: [(job, conds, res, t3_time)].  Same-bucket utterances share
+        one S3Gen dispatch (`inference_batch`) — the reference vocodes
+        strictly serially (`tts.py:474-521`)."""
         model = self.model
         vocab = model.config.s3gen.speech_vocab_size
         s0 = time.time()
-        try:
+        items, seeds, live = [], [], []
+        for j, conds, res, t3_time in entries:
             toks = res.tokens
             toks = toks[(toks >= 0) & (toks < vocab)]
-            wav = (model.s3gen.inference(
-                       toks, conds.ref,
-                       n_timesteps=j.request.diffusion_steps,
-                       seed=j.request.seed if j.request.seed is not None else 0)
-                   if len(toks) else np.zeros(0, np.float32))
-            j.audio, j.media_type = encode_audio(
-                wav, model.SR, j.request.response_format)
-            s3_time = time.time() - s0
-            j.metrics = {
-                "speech_tokens": int(len(toks)),
-                "t3_time_s": round(t3_time, 3),
-                "s3gen_time_s": round(s3_time, 3),
-                "audio_s": round(len(wav) / model.SR, 3),
-                "language": j.language_id,
-            }
-            with self._counters_lock:
-                self._counters["requests_total"] += 1
-                self._counters["speech_tokens_total"] += int(len(toks))
-                self._counters["audio_seconds_total"] += len(wav) / model.SR
-                self._counters["s3gen_seconds_total"] += s3_time
-                self._counters["t3_seconds_total"] += t3_time
+            items.append((toks, conds.ref) if len(toks) else None)
+            seeds.append(j.request.seed if j.request.seed is not None else 0)
+            live.append((j, toks, t3_time))
+        try:
+            # one dispatch per distinct diffusion-step count
+            wav_list = [None] * len(items)
+            by_steps: dict = {}
+            for k, (it, s) in enumerate(zip(items, seeds)):
+                if it is not None:
+                    by_steps.setdefault(
+                        entries[k][0].request.diffusion_steps, []).append(k)
+            for steps, ks in by_steps.items():
+                outs = model.s3gen.inference_batch(
+                    [items[k] for k in ks], n_timesteps=steps,
+                    seeds=[seeds[k] for k in ks])
+                for k, w in zip(ks, outs):
+                    wav_list[k] = w
         except Exception as e:
-            j.error = e
-        finally:
-            j.done.set()
+            for j, _, _ in live:
+                j.error = e
+                j.done.set()
+            return
+        s3_time = time.time() - s0
+        per_job_s3 = s3_time / max(len(entries), 1)
+        for (j, toks, t3_time), wav in zip(live, wav_list):
+            try:
+                if wav is None:
+                    wav = np.zeros(0, np.float32)
+                j.audio, j.media_type = encode_audio(
+                    wav, model.SR, j.request.response_format)
+                j.metrics = {
+                    "speech_tokens": int(len(toks)),
+                    "t3_time_s": round(t3_time, 3),
+                    "s3gen_time_s": round(per_job_s3, 3),
+                    "audio_s": round(len(wav) / model.SR, 3),
+                    "language": j.language_id,
+                }
+                with self._counters_lock:
+                    self._counters["requests_total"] += 1
+                    self._counters["speech_tokens_total"] += int(len(toks))
+                    self._counters["audio_seconds_total"] += len(wav) / model.SR
+                    self._counters["s3gen_seconds_total"] += per_job_s3
+                    self._counters["t3_seconds_total"] += t3_time
+            except Exception as e:
+                j.error = e
+            finally:
+                j.done.set()
 
     def _run_continuous(self) -> None:
         engine = self.model.engine
@@ -275,12 +306,12 @@ class TTSService:
             if not engine.has_work:
                 continue
             try:
-                for res in engine.step():
-                    entry = inflight.pop(res.request_id, None)
-                    if entry is None:
-                        continue
-                    j, conds = entry
-                    self._finish_job(j, conds, res, res.t3_time_s)
+                finished = [(inflight.pop(res.request_id), res)
+                            for res in engine.step()
+                            if res.request_id in inflight]
+                if finished:
+                    self._finish_jobs([(j, conds, res, res.t3_time_s)
+                                       for (j, conds), res in finished])
             except Exception as e:       # engine-level failure fails inflight
                 for rid, (j, _) in list(inflight.items()):
                     if j.error is None and j.audio is None:
@@ -307,5 +338,5 @@ class TTSService:
 
         results = model.engine.generate(requests)
         t3_time = time.time() - t0
-        for j, conds, res in zip(live, conds_list, results):
-            self._finish_job(j, conds, res, t3_time)
+        self._finish_jobs([(j, conds, res, t3_time)
+                           for j, conds, res in zip(live, conds_list, results)])

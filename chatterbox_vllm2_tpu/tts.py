@@ -76,6 +76,18 @@ class ChatterboxTTS:
         self.config = config
         self.t3cfg: T3Config = config.t3
         self.t3_params = t3_params
+        ecfg = config.engine
+        audio_mode = ecfg.quant_mode if ecfg.quant_mode != "none" else "int8"
+        if ecfg.quantize_s3gen:
+            from .ops.quant_matmul import quantize_linears
+
+            s3gen_engine.params = quantize_linears(s3gen_engine.params,
+                                                   audio_mode)
+            cond_enc_params = quantize_linears(cond_enc_params, audio_mode)
+        if ecfg.quantize_voice_encoder:
+            from .ops.quant_matmul import quantize_linears
+
+            ve_params = quantize_linears(ve_params, audio_mode)
         self.cond_enc_params = cond_enc_params
         self.s3gen = s3gen_engine
         self.ve_params = ve_params
@@ -148,8 +160,10 @@ class ChatterboxTTS:
         s3gen_params = {
             "flow": convert_flow(s3_sd, config.s3gen),
             "hift": convert_hift(s3_sd, config.s3gen.hift),
-            "rand_noise": np.asarray(
-                jax.random.normal(jax.random.PRNGKey(0), (1, 80, 15000))),
+            # host-side: np.asarray of a device array would pull 4.8 MB
+            # through the slow tunnel download path
+            "rand_noise": np.random.Generator(np.random.PCG64(0)).standard_normal(
+                (1, 80, 15000), np.float32),
         }
         campplus_params = convert_campplus(s3_sd, prefix="speaker_encoder.")
         s3tok = S3TokenizerModel(
@@ -397,15 +411,20 @@ class ChatterboxTTS:
         t3_time = time.time() - t0
 
         t0 = time.time()
-        wavs = []
-        for res in results:
+        wavs: list = [np.zeros(0, np.float32)] * len(results)
+        items, idxs = [], []
+        for i, res in enumerate(results):
             toks = res.tokens
             toks = toks[(toks >= 0) & (toks < self.config.s3gen.speech_vocab_size)]
-            if len(toks) == 0:
-                wavs.append(np.zeros(0, np.float32))
-                continue
-            wavs.append(self.s3gen.inference(toks, conds.ref,
-                                             n_timesteps=diffusion_steps, seed=seed))
+            if len(toks):
+                items.append((toks, conds.ref))
+                idxs.append(i)
+        # batched vocoding: same-bucket utterances share one dispatch
+        # (the reference is strictly serial here, `tts.py:474-521`)
+        for i, wav in zip(idxs, self.s3gen.inference_batch(
+                items, n_timesteps=diffusion_steps,
+                seeds=[seed + i for i in idxs])):
+            wavs[i] = wav
         s3_time = time.time() - t0
         total_tokens = sum(len(r.tokens) for r in results)
         self.metrics = {
