@@ -30,11 +30,16 @@ def build_engine(jax, jnp, B, max_len, quant_mode, engine_kind):
     from chatterbox_vllm2_tpu.config import Config, EngineConfig, T3Config
     from chatterbox_vllm2_tpu.models.t3.model import init_t3_params
 
+    # Measured on the v5e (3 runs over an hour): steps=32 -> ~1120 tok/s,
+    # steps=128 -> 985, steps=256 -> 560-590.  Longer scans run SLOWER per
+    # step through the axon tunnel despite lower dispatch overhead; 32 wins.
+    steps = int(os.environ.get("BENCH_STEPS", 32))
     cfg = Config(
         t3=T3Config.multilingual(),
         engine=EngineConfig(max_batch_size=B, max_model_len=max_len,
                             prefill_buckets=(64,), quant_mode=quant_mode,
-                            cache_len_schedule="single"),
+                            cache_len_schedule="single",
+                            decode_steps_per_dispatch=steps),
     )
     params = init_t3_params(0, cfg.t3, jnp.bfloat16)
     if engine_kind == "paged":

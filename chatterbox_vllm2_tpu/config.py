@@ -293,6 +293,13 @@ class EngineConfig:
     # body to compile — fast cold start through the slow axon compile path).
     # "unroll": static Python loop (bigger program, slightly faster step).
     layer_mode: str = "scan"
+    # Decode attention implementation: "xla" (einsum over a per-layer cache
+    # slice) or "pallas" (fused ops/dense_attention kernel reading the
+    # stacked cache via a scalar-prefetched layer index).  "xla" measured
+    # faster on the shared dev chip; "pallas" is the A/B candidate for
+    # production TPUs and the INT8-KV path.  Ignored (forced "xla") when the
+    # engine is mesh-sharded.
+    decode_attn: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -159,6 +159,10 @@ class T3Engine:
         self.B = ecfg.max_batch_size
         self.S = 2 * self.B
         self.max_out = ecfg.max_model_len
+        # Pallas decode attention isn't GSPMD-partitionable — force XLA when
+        # the engine is sharded over a mesh (see config.EngineConfig).
+        self._attn_impl = "xla" if mesh is not None else ecfg.decode_attn
+        self._attn_interpret = jax.default_backend() != "tpu"
         params = quantize_t3_params(params, ecfg.quant_mode)
         if mesh is not None:
             from ..parallel.sharding import shard_engine_params
@@ -239,6 +243,8 @@ class T3Engine:
             params, cfg, embeds, state.kv, state.lengths, *self._rope,
             cache_len=cache_len,
             layer_mode=self.config.engine.layer_mode,
+            attn_impl=self._attn_impl,
+            attn_interpret=self._attn_interpret,
         )
         logits = cfg_combine(
             speech_logits(params, hidden, cfg.speech_vocab_size), cfg_scale)

@@ -292,6 +292,8 @@ def t3_decode(
     *,
     cache_len: Optional[int] = None,   # static read bound; None = max_len
     layer_mode: str = "scan",
+    attn_impl: str = "xla",            # "xla" | "pallas" (ops/dense_attention)
+    attn_interpret: bool = False,      # pallas interpret mode (CPU tests)
 ) -> tuple[jnp.ndarray, KVCache]:
     """One decode step over all streams.  The new token's K/V is appended at
     `lengths` in place; attention reads cache[:cache_len] with a length mask.
@@ -301,6 +303,10 @@ def t3_decode(
     *carry* (per-layer reads are dynamic slices, writes are in-place scatters
     — NOT the round-1 design that passed the cache through scan xs/ys and
     copied it every step).  "unroll" is the static Python loop.
+
+    attn_impl "pallas" replaces the per-layer cache slice + einsums with the
+    fused `dense_decode_attention` kernel (see ops/dense_attention.py for
+    when that wins).
     """
     S, h = x.shape
     M = cache_len if cache_len is not None else kv.k.shape[3]
@@ -308,6 +314,7 @@ def t3_decode(
     mask = jnp.arange(M)[None, :] <= lengths[:, None]          # [S, M]
     k_cache, v_cache = kv.k, kv.v
     pos = lengths[:, None]
+    scale = cfg.head_dim ** -0.5
 
     def attn_qkv(lp, x):
         y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
@@ -315,6 +322,21 @@ def t3_decode(
         q = apply_rope(q[:, None], rope_cos, rope_sin, pos)[:, 0]
         k = apply_rope(k[:, None], rope_cos, rope_sin, pos)[:, 0]
         return q, k, v
+
+    def attend(lp, x, q, k_cache, v_cache, l):
+        """Post-write attention read + o_proj for layer l (traced or static)."""
+        if attn_impl == "pallas":
+            from ...ops.dense_attention import dense_decode_attention
+            out = dense_decode_attention(
+                q, k_cache, v_cache, l, lengths, cache_len=M,
+                sm_scale=scale, interpret=attn_interpret).astype(x.dtype)
+            return quant_einsum(out.reshape(S, cfg.num_heads * cfg.head_dim),
+                                lp["o_proj"])
+        kk = jax.lax.dynamic_index_in_dim(k_cache, l, 0,
+                                          keepdims=False)[:, :, :M, :]
+        vv = jax.lax.dynamic_index_in_dim(v_cache, l, 0,
+                                          keepdims=False)[:, :, :M, :]
+        return _decode_layer(lp, x, q, mask, M, cfg, kk, vv)
 
     if layer_mode == "scan":
         def body(carry, inputs):
@@ -325,11 +347,7 @@ def t3_decode(
                 k.astype(k_cache.dtype))
             v_cache = v_cache.at[l, rows, :, lengths, :].set(
                 v.astype(v_cache.dtype))
-            kk = jax.lax.dynamic_index_in_dim(k_cache, l, 0,
-                                              keepdims=False)[:, :, :M, :]
-            vv = jax.lax.dynamic_index_in_dim(v_cache, l, 0,
-                                              keepdims=False)[:, :, :M, :]
-            x = x + _decode_layer(lp, x, q, mask, M, cfg, kk, vv)
+            x = x + attend(lp, x, q, k_cache, v_cache, l)
             y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + _mlp(lp, y)
             return (x, k_cache, v_cache), None
@@ -345,9 +363,7 @@ def t3_decode(
                 k.astype(k_cache.dtype))
             v_cache = v_cache.at[l, rows, :, lengths, :].set(
                 v.astype(v_cache.dtype))
-            kk = k_cache[l, :, :, :M, :]                       # [S, H, M, D]
-            vv = v_cache[l, :, :, :M, :]
-            x = x + _decode_layer(lp, x, q, mask, M, cfg, kk, vv)
+            x = x + attend(lp, x, q, k_cache, v_cache, l)
             y = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps)
             x = x + _mlp(lp, y)
 
