@@ -145,7 +145,7 @@ def main() -> None:
     tps = total / dt
 
     e2e = {}
-    if os.environ.get("BENCH_E2E") == "1":
+    if os.environ.get("BENCH_E2E", "1") == "1":   # default ON (VERDICT r3 #3)
         e2e = bench_e2e(jax, jnp, eng, res, dt, mark)
 
     # T3-side real-time factor: 25 speech tokens == 1 s of audio

@@ -163,17 +163,28 @@ class SpeechTextTokenizer:
     # -- encode -------------------------------------------------------------
 
     def encode(self, text: str, language_id: Optional[str] = None) -> list[int]:
-        """Normalised text (WITHOUT [START]/[STOP]) -> ids including the
-        [START]/[STOP] markers and the `[lang]` tag for multilingual."""
+        """Raw text (WITHOUT markers) -> token ids, id-identical to the
+        reference tokenizers fed the orchestrator's prompt string.
+
+        English (reference `entokenizer.py:69-71`): `[START]text[STOP]` with
+        spaces -> [SPACE]; the markers stay intact (special tokens 255 / 0).
+
+        Multilingual (reference `mtltokenizer.py:288-327` + `tts.py:435-441`):
+        the reference lowercases + NFKD-normalises the WHOLE prompt — markers
+        included, so `[START]` becomes the literal characters `[start]` and is
+        grapheme-tokenized as `[ st ar t ]` — then runs the per-language
+        normalizer and prepends the `[lang]` tag BEFORE the (lowercased)
+        start marker.  Quirky, but id-parity with the shipped checkpoints
+        requires reproducing it exactly (verified token-for-token against the
+        reference tokenizers in tests/test_tokenizer_parity.py).
+        """
         if self.multilingual:
-            body = self._normalize(text, language_id)
+            body = self._normalize(f"{SOT}{text}{EOT}", language_id)
             if language_id:
                 body = f"[{language_id.lower()}]{body}"
         else:
-            body = text
-        body = body.replace(" ", SPACE)
-        ids = self.tok.encode(f"{SOT}{body}{EOT}").ids
-        return ids
+            body = f"{SOT}{text}{EOT}"
+        return self.tok.encode(body.replace(" ", SPACE)).ids
 
     def decode(self, ids: list[int]) -> str:
         text = "".join(self.tok.id_to_token(i) or "" for i in ids)
