@@ -318,6 +318,12 @@ class TTSService:
                         j.error = e
                         j.done.set()
                 inflight.clear()
+                # Drain the engine's own pending/active state too — otherwise
+                # orphaned slots keep decoding and later step() results can
+                # alias dead request ids.  New jobs then start from a clean
+                # engine (the service keeps serving).
+                if hasattr(engine, "reset"):
+                    engine.reset()
 
     def _process(self, jobs: list[_Job]) -> None:
         """Barrier micro-batch path (engine_kind="dense")."""

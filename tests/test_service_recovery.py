@@ -1,0 +1,132 @@
+"""Continuous-serving failure recovery: an engine-level step() failure must
+fail the in-flight jobs exactly once, reset the engine (no orphaned slots /
+stale results), and leave the service serving (VERDICT r3 weak #7)."""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from chatterbox_vllm2_tpu.config import Config, EngineConfig, SamplingConfig, T3Config
+from chatterbox_vllm2_tpu.engine import T3Engine, T3Request
+from chatterbox_vllm2_tpu.engine.scheduler import ContinuousEngine
+
+
+def _tiny_engine():
+    cfg = Config(
+        t3=T3Config.tiny(),
+        engine=EngineConfig(max_batch_size=2, max_model_len=64,
+                            prefill_buckets=(16,), kv_cache_dtype="float32",
+                            decode_steps_per_dispatch=4),
+    )
+    from chatterbox_vllm2_tpu.models.t3.model import init_t3_params
+
+    params = init_t3_params(0, cfg.t3, jnp.float32)
+    return ContinuousEngine(T3Engine(cfg, params, compute_dtype=jnp.float32))
+
+
+def _req(i, n=8):
+    rng = np.random.RandomState(i)
+    return T3Request(
+        text_ids=rng.randint(1, 96, size=8).astype(np.int32),
+        cond_emb=(rng.randn(34, 64) * 0.02).astype(np.float32),
+        sampling=SamplingConfig(temperature=0.0),
+        max_new_tokens=n, seed=i,
+    )
+
+
+def test_engine_reset_clears_state():
+    eng = _tiny_engine()
+    eng.submit(_req(0))
+    eng.submit(_req(1))
+    eng.step()                       # admits + decodes a chunk
+    assert eng.has_work or eng._results
+    eng.reset()
+    assert not eng.has_work
+    assert not eng._active and not eng._pending and not eng._results
+    assert bool(np.all(np.asarray(eng._state.done)))
+    # engine serves normally after reset
+    res = eng.generate([_req(2), _req(3)])
+    assert len(res) == 2 and all(len(r.tokens) >= 0 for r in res)
+
+
+def test_service_survives_step_failure(monkeypatch):
+    """Inject a one-shot step() exception mid-flight through the service
+    worker; the failed job raises, the next job succeeds."""
+    from chatterbox_vllm2_tpu.server.service import TTSService
+
+    eng = _tiny_engine()
+
+    class Model:
+        """Minimal model facade the service needs (no audio stack)."""
+        SR = 24000
+        engine = eng
+        variant = "english"
+
+        class config:
+            class engine:
+                max_batch_size = 2
+
+            class s3gen:
+                speech_vocab_size = 128
+
+        class tokenizer:
+            @staticmethod
+            def encode(text, lang=None):
+                return [min(ord(c), 90) for c in text[:8]]
+
+        @staticmethod
+        def get_supported_languages():
+            return {"en": "English"}
+
+        @staticmethod
+        def get_audio_conditionals(path):
+            class C:
+                ref = None
+            return C()
+
+        @staticmethod
+        def update_exaggeration(conds, ex):
+            return np.zeros((34, 64), np.float32)
+
+        class s3gen:
+            @staticmethod
+            def inference_batch(items, n_timesteps, seeds):
+                return [np.zeros(240, np.float32) for _ in items]
+
+    svc = TTSService(Model(), batch_window_ms=1.0)
+    try:
+        from chatterbox_vllm2_tpu.server.schema import parse_tts_request
+
+        boom = {"armed": False, "fired": False}
+        orig_step = eng.step
+
+        def failing_step():
+            if boom["armed"] and not boom["fired"]:
+                boom["fired"] = True
+                raise RuntimeError("injected step failure")
+            return orig_step()
+
+        monkeypatch.setattr(eng, "step", failing_step)
+
+        # request 1: fails mid-decode with the injected error
+        boom["armed"] = True
+        with pytest.raises(RuntimeError, match="injected step failure"):
+            svc.synthesize(parse_tts_request(
+                {"input": "hello there.", "response_format": "pcm",
+                 "max_tokens": 8}), timeout=60)
+        assert boom["fired"]
+        # engine was reset: nothing orphaned
+        assert not eng._active and not eng._pending and not eng._results
+
+        # request 2: service keeps serving after the failure
+        audio, media, metrics = svc.synthesize(parse_tts_request(
+            {"input": "still alive.", "response_format": "pcm",
+             "max_tokens": 8}), timeout=60)
+        assert media == "audio/pcm"
+        assert svc.counters()["requests_total"] == 1
+        assert svc.counters()["errors_total"] == 1
+    finally:
+        svc.shutdown()
