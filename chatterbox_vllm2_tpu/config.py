@@ -358,7 +358,12 @@ class Config:
         sampling = SamplingConfig(
             cfg_scale=float(os.environ.get("CHATTERBOX_CFG_SCALE", 0.5)),
         )
-        return cls(t3=t3, engine=eng, server=srv, sampling=sampling)
+        # CHATTERBOX_MESH="2x4" -> (data=2, model=4); ChatterboxTTS shards
+        # the serving engine over this mesh when num_devices > 1.
+        mesh_env = os.environ.get("CHATTERBOX_MESH", "1x1")
+        data, _, model = mesh_env.partition("x")
+        mesh = MeshConfig(data=int(data or 1), model=int(model or 1))
+        return cls(t3=t3, engine=eng, server=srv, sampling=sampling, mesh=mesh)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

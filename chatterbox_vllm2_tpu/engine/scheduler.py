@@ -67,9 +67,10 @@ class ContinuousEngine:
         # host mirror of per-slot lengths for the cache_len bucket bound
         self._len_bound = np.zeros((self.B,), np.int64)
 
+        self.mesh = engine.mesh
         self._prefill_pair = jax.jit(self._prefill_pair_impl)
         self._admit = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3, 4))
-        self._state = self._empty_state()
+        self._state = self._make_state()
         # per-slot request parameters, device-resident alongside the state
         self._sampling = SamplingState.broadcast(self.B)
         self._cfg_scale = jnp.full((self.B,), 0.5, jnp.float32)
@@ -79,6 +80,18 @@ class ContinuousEngine:
     # ------------------------------------------------------------------ #
     # jitted programs
     # ------------------------------------------------------------------ #
+
+    def _make_state(self) -> DecodeState:
+        """Fresh persistent state; mesh-sharded when the wrapped engine is
+        (KV heads over 'model', streams over 'data' — the specs the decode
+        chunk already uses, parallel/sharding.py).  This is what makes the
+        SERVING engine multi-chip: the reference's TP machinery is never
+        exercised (vLLM TP=1 throughout, reference README.md:40)."""
+        state = self._empty_state()
+        if self.mesh is not None:
+            from ..parallel.sharding import decode_state_shardings
+            state = jax.device_put(state, decode_state_shardings(self.mesh))
+        return state
 
     def _empty_state(self) -> DecodeState:
         cfg, B, S = self.t3cfg, self.B, self.S
@@ -181,7 +194,7 @@ class ContinuousEngine:
         self._pending.clear()
         self._active.clear()
         self._results.clear()
-        self._state = self._empty_state()
+        self._state = self._make_state()
         self._sampling = SamplingState.broadcast(self.B)
         self._cfg_scale = jnp.full((self.B,), 0.5, jnp.float32)
         self._max_new = jnp.ones((self.B,), jnp.int32)
@@ -307,6 +320,11 @@ def make_engine(config: Config, params: dict, *, compute_dtype=jnp.bfloat16,
     if kind == "paged":
         from .paged import PagedContinuousEngine
 
+        if mesh is not None:
+            raise NotImplementedError(
+                "paged engine is single-device for now — serve multi-chip "
+                "with engine_kind='continuous' (dense slotted cache, "
+                "mesh-sharded)")
         return PagedContinuousEngine(config, params,
                                      compute_dtype=compute_dtype,
                                      logit_processor=logit_processor)

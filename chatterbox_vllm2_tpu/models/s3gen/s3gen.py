@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ...config import S3GenConfig
+from ...utils.pytree import merge_arrays, split_arrays
 from .cfm import make_rand_noise
 from .conformer import espnet_rel_pos_table
 from .flow import flow_inference, init_flow
@@ -83,31 +84,58 @@ class S3GenEngine:
         self._flow_jit = {}
         self._hift_jit = {}
 
+    @property
+    def params(self) -> dict:
+        return self._params
+
+    @params.setter
+    def params(self, value: dict) -> None:
+        # A params swap (e.g. quantize_linears) can change the tree
+        # structure; drop jits whose closed-over skeleton would go stale.
+        self._params = value
+        if hasattr(self, "_flow_jit"):
+            self._flow_jit.clear()
+            self._hift_jit.clear()
+
     # -- jitted stages ------------------------------------------------------
 
     def _flow_fn(self, T_bucket: int, n_timesteps: int):
+        # Weight ARRAYS are jit arguments, never closure constants: closing
+        # over device arrays bakes them into the HLO as literals — the
+        # serialized program then exceeds the axon tunnel's compile-request
+        # size limit (HTTP 413; hit on the first TPU e2e bench).  Static
+        # metadata in the tree (conv kernel/dilation ints) stays in the
+        # closure via split_arrays/merge_arrays.
         key = (T_bucket, n_timesteps)
         if key not in self._flow_jit:
-            P_max = 2 * self.max_prompt_tokens
+            _, spec = split_arrays((self.params["flow"],
+                                    self.params["rand_noise"]))
 
-            def fn(tokens, mask, prompt_feat, prompt_mel_len, embedding):
+            def fn(arrays, tokens, mask, prompt_feat, prompt_mel_len,
+                   embedding):
+                flow_params, rand_noise = merge_arrays(arrays, spec)
                 return flow_inference(
-                    self.params["flow"], self.cfg, tokens, mask, prompt_feat,
-                    prompt_mel_len, embedding, self.params["rand_noise"],
+                    flow_params, self.cfg, tokens, mask, prompt_feat,
+                    prompt_mel_len, embedding, rand_noise,
                     pos_table=self._pos_table, pos_table_len=self._pos_table_len,
                     n_timesteps=n_timesteps,
                 )
 
             self._flow_jit[key] = jax.jit(fn)
-        return self._flow_jit[key]
+        arrays, _ = split_arrays((self.params["flow"], self.params["rand_noise"]))
+        return functools.partial(self._flow_jit[key], arrays)
 
     def _hift_fn(self, M_bucket: int):
         if M_bucket not in self._hift_jit:
-            def fn(mel, hift_key):
-                return hift_apply(self.params["hift"], self.cfg.hift, mel, hift_key)
+            _, spec = split_arrays(self.params["hift"])
+
+            def fn(arrays, mel, hift_key):
+                return hift_apply(merge_arrays(arrays, spec), self.cfg.hift,
+                                  mel, hift_key)
 
             self._hift_jit[M_bucket] = jax.jit(fn)
-        return self._hift_jit[M_bucket]
+        arrays, _ = split_arrays(self.params["hift"])
+        return functools.partial(self._hift_jit[M_bucket], arrays)
 
     def _bucket(self, n: int) -> int:
         for b in self.token_buckets:

@@ -20,6 +20,8 @@ asserted once real checkpoints are available (no network in this build env).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -143,7 +145,17 @@ class S3TokenizerModel:
     def __init__(self, params: dict, cfg: S3TokenizerConfig = S3TokenizerConfig()):
         self.params = params
         self.cfg = cfg
-        self._jit = jax.jit(lambda mel, mask: s3tokenizer_quantize(params, cfg, mel, mask))
+        # weight arrays as ARGUMENTS, not closure: closed-over device arrays
+        # get baked into the HLO as literals (slow tunnel download at
+        # lowering + the serialized program can exceed the remote-compile
+        # size cap); static tree metadata stays in the closure
+        from ...utils.pytree import merge_arrays, split_arrays
+
+        arrays, spec = split_arrays(params)
+        self._jit = functools.partial(
+            jax.jit(lambda a, mel, mask: s3tokenizer_quantize(
+                merge_arrays(a, spec), cfg, mel, mask)),
+            arrays)
 
     def __call__(self, wavs: list[np.ndarray], max_len: int | None = None):
         mels = []

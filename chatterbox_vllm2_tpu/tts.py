@@ -95,8 +95,18 @@ class ChatterboxTTS:
         self.default_conds = default_conds
         self.variant = "multilingual" if config.t3.is_multilingual else "english"
         # engine_kind selects dense / continuous / paged (config.py); serving
-        # defaults to the continuous engine so requests join mid-decode
-        self.engine = make_engine(config, t3_params, compute_dtype=compute_dtype)
+        # defaults to the continuous engine so requests join mid-decode.
+        # config.mesh > (1, 1) shards the SERVING engine over a (data, model)
+        # device mesh (CHATTERBOX_MESH env, config.from_env) — the reference
+        # never wires its TP machinery into serving (vLLM TP=1, README.md:40).
+        mesh = None
+        if config.mesh.num_devices > 1:
+            from .parallel import make_mesh
+
+            mesh = make_mesh(config.mesh)
+        self.mesh = mesh
+        self.engine = make_engine(config, t3_params, compute_dtype=compute_dtype,
+                                  mesh=mesh)
         self._cond_cache: dict = {}
         self.metrics: dict = {}
 

@@ -87,6 +87,17 @@ def main() -> None:
     print(f"scaling efficiency vs {n_dev}x single-device: {eff:.1%} "
           f"(per-data-shard speedup {tps_n / tps_1:.2f}x over {data} shards)")
     if args.platform == "cpu":
+        # Virtual CPU devices share one host's FLOPs, so the number above
+        # cannot reach 1/n_dev x n_dev.  The honest virtual-mesh metric is
+        # partitioning overhead: same GLOBAL batch, mesh vs no mesh — both
+        # runs use the same silicon, so any slowdown is GSPMD collectives +
+        # sharding bookkeeping.
+        tps_same = run(None, B0 * data)
+        overhead = 1.0 - tps_n / tps_same
+        print(f"1 device,        batch {B0 * data:>3}: {tps_same:9.1f} tok/s")
+        print(f"partitioning overhead at same global batch (virtual mesh): "
+              f"{overhead:+.1%}  -> mesh efficiency {tps_n / tps_same:.1%} "
+              f"of the shared-silicon ideal")
         print("NOTE: virtual CPU devices share one host's FLOPs — this run "
               "validates mesh/collective correctness and overhead, not real "
               "scaling; run on a pod slice for BASELINE's >=80% target.")
