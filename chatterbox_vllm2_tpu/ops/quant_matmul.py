@@ -339,9 +339,11 @@ def quantize_t3_params(params: dict, mode: str, group_size: int = 128) -> dict:
     out = dict(params)
     layers = dict(params["layers"])
     for key in T3_QUANT_KEYS:
-        layers[key] = quantize_tensor(layers[key], bits=bits,
-                                      group_size=group_size)
+        if not isinstance(layers[key], QuantTensor):   # idempotent: AWQ
+            layers[key] = quantize_tensor(layers[key], bits=bits,
+                                          group_size=group_size)
     out["layers"] = layers
-    out["speech_head"] = quantize_tensor(params["speech_head"], bits=bits,
-                                         group_size=group_size)
+    if not isinstance(params["speech_head"], QuantTensor):
+        out["speech_head"] = quantize_tensor(params["speech_head"], bits=bits,
+                                             group_size=group_size)
     return out

@@ -86,6 +86,44 @@ def convert_t3(sd: dict, cfg, dtype=jnp.bfloat16) -> dict:
 
     L = cfg.num_layers
 
+    # Pre-quantized AWQ checkpoint (qweight/qzeros/scales per linear — the
+    # layout vLLM's AWQ loader consumes for the reference,
+    # `quantization.py:161-185`): linears come from the AWQ converter,
+    # everything else (norms, embeddings, head) loads densely below.
+    if "tfmr.layers.0.self_attn.q_proj.qweight" in sd:
+        from ..ops.awq import convert_awq_t3_layers
+
+        awq_layers = convert_awq_t3_layers(sd, cfg)
+        # Dense pieces (norms, embeddings, head) load through the normal
+        # path; the quantized linears are stubbed with zeros there and then
+        # replaced by the AWQ QuantTensors.
+        h, nh, hd, inter = (cfg.hidden_size, cfg.num_heads, cfg.head_dim,
+                            cfg.intermediate_size)
+        sd2 = dict(sd)
+        for i in range(L):
+            b = f"tfmr.layers.{i}"
+            for name, shape in (
+                (f"{b}.self_attn.q_proj.weight", (nh * hd, h)),
+                (f"{b}.self_attn.k_proj.weight", (nh * hd, h)),
+                (f"{b}.self_attn.v_proj.weight", (nh * hd, h)),
+                (f"{b}.self_attn.o_proj.weight", (h, nh * hd)),
+                (f"{b}.mlp.gate_proj.weight", (inter, h)),
+                (f"{b}.mlp.up_proj.weight", (inter, h)),
+                (f"{b}.mlp.down_proj.weight", (h, inter)),
+            ):
+                sd2.setdefault(name, np.zeros(shape, np.float32))
+        out = _convert_t3_dense(sd2, cfg, dtype)
+        out["layers"].update(awq_layers)
+        return out
+
+    return _convert_t3_dense(sd, cfg, dtype)
+
+
+def _convert_t3_dense(sd: dict, cfg, dtype=jnp.bfloat16) -> dict:
+    from ..models.t3.model import fuse_gate_up, fuse_qkv
+
+    L = cfg.num_layers
+
     def stack(fmt, transpose=True):
         ws = []
         for i in range(L):
