@@ -75,7 +75,11 @@ def bench_e2e(jax, jnp, eng, t3_results, t3_dt, mark):
     )
     items = [(np.clip(r.tokens, 0, 6560), ref) for r in t3_results
              if len(r.tokens)]
-    s3.inference_batch(items[:1], n_timesteps=10, seeds=[0])   # compile+warm
+    # warm with the FULL batch composition — the batched flow/HiFT programs
+    # (batch buckets) are distinct compiles from the single-item ones, and a
+    # cold compile inside the timed phase dominated the first TPU e2e run
+    # (86.9 s "s3gen" of which ~85 s was jit)
+    s3.inference_batch(items, n_timesteps=10, seeds=list(range(len(items))))
     mark("s3gen compiled")
     t0 = time.time()
     wavs = s3.inference_batch(items, n_timesteps=10,

@@ -278,6 +278,11 @@ class EngineConfig:
     quantize_s3gen: bool = False
     quantize_voice_encoder: bool = False
     decode_steps_per_dispatch: int = 32  # tokens generated per host round-trip
+    # Occupancy buckets (CFG pairs) for the continuous engine's decode chunk:
+    # when the active slots fit in a prefix of this size, the chunk runs on a
+    # sliced sub-state so a lone request doesn't pay max_batch_size shapes
+    # (batch-1 TTFA).  () disables.  Buckets > max_batch_size are ignored.
+    pair_buckets: tuple = (1, 2, 4)
     enable_analyzer: bool = True        # in-loop alignment stream analyzer
     # engine flavor the pipeline/serving stack constructs:
     #   "dense"      — barrier micro-batches over the slotted cache (T3Engine)

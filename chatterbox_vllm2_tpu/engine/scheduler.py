@@ -206,8 +206,22 @@ class ContinuousEngine:
         return bool(self._pending or self._active)
 
     def _free_slots(self, done_host: np.ndarray) -> list[int]:
+        # lowest-first: keeps active slots a prefix so the occupancy bucket
+        # (batch-1 latency path) applies as often as possible
         return [i for i in range(self.B)
                 if bool(done_host[i]) and i not in self._active]
+
+    def _occupancy_bucket(self, active_slots: list[int]):
+        """Smallest configured pair bucket covering all active slots, or None
+        for the full-batch chunk.  Mesh-sharded engines always run full-batch
+        (a prefix slice would break the data-axis sharding)."""
+        if self.mesh is not None:
+            return None
+        hi = max(active_slots) + 1
+        for b in self.config.engine.pair_buckets:
+            if hi <= b < self.B:
+                return b
+        return None
 
     def _admit_one(self, slot: int, rid: str, req: T3Request) -> None:
         cfg = self.t3cfg
@@ -274,10 +288,17 @@ class ContinuousEngine:
             active_slots = list(self._active)
             cache_len = self.engine._cache_len(
                 int(self._len_bound[active_slots].max()) + steps + 1)
-            self._state = self.engine._decode_chunk(
-                self.engine.params, self._state, self._sampling,
-                self._cfg_scale, self._max_new, self._text_len,
-                num_steps=steps, cache_len=cache_len)
+            bucket = self._occupancy_bucket(active_slots)
+            if bucket is not None:
+                self._state = self.engine._decode_chunk_sliced(
+                    self.engine.params, self._state, self._sampling,
+                    self._cfg_scale, self._max_new, self._text_len,
+                    num_steps=steps, cache_len=cache_len, bucket=bucket)
+            else:
+                self._state = self.engine._decode_chunk(
+                    self.engine.params, self._state, self._sampling,
+                    self._cfg_scale, self._max_new, self._text_len,
+                    num_steps=steps, cache_len=cache_len)
             self._len_bound[active_slots] += steps
             done_host = np.asarray(jax.device_get(self._state.done))
             n_gen = np.asarray(jax.device_get(self._state.n_generated))
