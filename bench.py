@@ -75,11 +75,12 @@ def bench_e2e(jax, jnp, eng, t3_results, t3_dt, mark):
     )
     items = [(np.clip(r.tokens, 0, 6560), ref) for r in t3_results
              if len(r.tokens)]
-    # warm with the FULL batch composition — the batched flow/HiFT programs
-    # (batch buckets) are distinct compiles from the single-item ones, and a
-    # cold compile inside the timed phase dominated the first TPU e2e run
-    # (86.9 s "s3gen" of which ~85 s was jit)
+    # warm BOTH batch compositions — the batched flow/HiFT programs (batch
+    # buckets) and the single-item ones are distinct compiles; a cold compile
+    # inside a timed phase dominated the first TPU e2e runs (86.9 s "s3gen",
+    # 18.6 s "ttfa" — both ~all jit)
     s3.inference_batch(items, n_timesteps=10, seeds=list(range(len(items))))
+    s3.inference_batch(items[:1], n_timesteps=10, seeds=[0])
     mark("s3gen compiled")
     t0 = time.time()
     wavs = s3.inference_batch(items, n_timesteps=10,
