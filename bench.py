@@ -39,7 +39,10 @@ def build_engine(jax, jnp, B, max_len, quant_mode, engine_kind):
         engine=EngineConfig(max_batch_size=B, max_model_len=max_len,
                             prefill_buckets=(64,), quant_mode=quant_mode,
                             cache_len_schedule="single",
-                            decode_steps_per_dispatch=steps),
+                            decode_steps_per_dispatch=steps,
+                            kv_block_size=int(os.environ.get("BENCH_BLOCK", 16)),
+                            kv_cache_dtype=os.environ.get(
+                                "BENCH_KV_DTYPE", "bfloat16")),
     )
     params = init_t3_params(0, cfg.t3, jnp.bfloat16)
     if engine_kind == "paged":

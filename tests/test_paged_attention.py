@@ -72,7 +72,7 @@ def test_paged_attention_matches_dense(problem):
         jnp.asarray(q), kp, vp, tables, jnp.asarray(lengths),
         block_size=BS, sm_scale=D ** -0.5, interpret=True)
     ref = dense_reference(q, k, v, lengths, D ** -0.5)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=5e-3)  # bf16 in-kernel math
 
 
 def test_paged_attention_int8_close_to_dense(problem):
@@ -111,7 +111,7 @@ def test_append_then_attend(problem):
         k_ref[s, lengths[s]] = k_new[s]
         v_ref[s, lengths[s]] = v_new[s]
     ref = dense_reference(q, k_ref, v_ref, new_len, D ** -0.5)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=5e-3)  # bf16 in-kernel math
 
 
 # --------------------------------------------------------------------------- #
