@@ -64,7 +64,10 @@ def _attn_kernel(
         # only the online-softmax state stays f32 — the round-3 kernel
         # converted whole K/V pages to f32 on the VPU first (VERDICT r3
         # weak #2)
-        q = q_ref[0].astype(jnp.bfloat16)                   # [H, D]
+        # reshape to [H, 1, D] while f32 (Mosaic can't shape-cast bf16
+        # across ranks, nor lower a 2Dx3D batched dot), then cast: the dots
+        # run bf16 on the MXU with f32 accumulation
+        q = q_ref[0].astype(jnp.float32)[:, None, :].astype(jnp.bfloat16)
         k = k_page_ref[0]                                   # [H, bs, D]
         v = v_page_ref[0]
         if k_scale_ref is not None:
@@ -74,7 +77,7 @@ def _attn_kernel(
                 jnp.bfloat16)
         # scores[h, b] = sum_d q[h, d] * k[h, b, d]
         scores = jax.lax.dot_general(
-            q[:, None, :], k,
+            q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )[:, 0, :] * scale                                  # [H, bs] f32
@@ -91,7 +94,7 @@ def _attn_kernel(
         m_ref[:] = m_new
         # acc[h, d] = alpha * acc + sum_b p[h, b] * v[h, b, d]
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16)[:, None, :], v,
+            p[:, None, :].astype(jnp.bfloat16), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )[:, 0, :]                                           # [H, D]

@@ -46,12 +46,68 @@ def kv_bytes(cfg: T3Config, S: int, cache_len: int, dtype_bytes: int = 2) -> int
     return 2 * cfg.num_layers * S * cfg.num_kv_heads * cache_len * cfg.head_dim * dtype_bytes
 
 
+def bench_kernels(quant: str) -> None:
+    """Per-kernel roofline: each backbone matmul at decode shapes (16 rows)
+    vs its weight-bandwidth bound.  Chained executions + one device_get (the
+    tunnel's block_until_ready returns early; see BENCH_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from chatterbox_vllm2_tpu.ops.quant_matmul import (
+        quant_einsum, quantize_tensor)
+
+    t3 = T3Config.multilingual()
+    h, nh, hd, inter = (t3.hidden_size, t3.num_heads, t3.head_dim,
+                        t3.intermediate_size)
+    shapes = {
+        "qkv_proj": (h, nh * 3 * hd),
+        "o_proj": (nh * hd, h),
+        "gate_up_proj": (h, 2 * inter),
+        "down_proj": (inter, h),
+        "speech_head": (h, t3.speech_vocab_padded),
+    }
+    bits = {"none": 16, "int8": 8, "int4_awq": 4, "int4": 4}[quant]
+    rng = np.random.RandomState(0)
+    print(f"\nper-kernel roofline, quant={quant}, 16 decode rows, "
+          f"HBM {HBM_GBPS:.0f} GB/s")
+    print(f"{'kernel':>14} {'us/call':>8} {'SoL us':>7} {'SoL frac':>8}")
+    for name, (K, N) in shapes.items():
+        w = rng.randn(K, N).astype(np.float32) * 0.02
+        wq = (jnp.asarray(w, jnp.bfloat16) if quant == "none"
+              else quantize_tensor(w, bits=bits))
+        x = jnp.asarray(rng.randn(16, K), jnp.bfloat16)
+
+        @jax.jit
+        def chain(x, wq=wq, K=K, N=N):
+            def body(c, _):
+                y = quant_einsum(c, wq)
+                # cheap feedback keeping shape [16, K]
+                return (c + y[:, :1].astype(c.dtype) * 1e-6
+                        if y.shape[-1] >= 1 else c), None
+            c, _ = jax.lax.scan(body, x, None, length=100)
+            return c
+
+        r = chain(x)
+        _ = float(jax.device_get(r[0, 0]))
+        t0 = time.time()
+        r = chain(x)
+        _ = float(jax.device_get(r[0, 0]))
+        per_call = (time.time() - t0) / 100
+        wbytes = K * N * bits / 8
+        sol = wbytes / (HBM_GBPS * 1e9)
+        print(f"{name:>14} {per_call*1e6:8.1f} {sol*1e6:7.1f} "
+              f"{sol / per_call:8.1%}")
+
+
 def main() -> None:
     quant = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
         else "none"
     trace_dir = None
     if "--trace" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+    if "--kernels" in sys.argv:
+        bench_kernels(quant)
+        return
 
     t3 = T3Config.multilingual()
     max_len = 384
