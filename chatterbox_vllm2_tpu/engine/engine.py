@@ -435,16 +435,33 @@ class T3Engine:
         base = int(cfg.cond_seq_len + text_len.max() + 1)
         single = self.config.engine.cache_len_schedule == "single"
         final_cache = self._cache_len(base + int(max_new.max()) + 1)
+        # occupancy bucket: a short batch decodes on a sliced prefix
+        # sub-state instead of full max_batch_size shapes (requests fill
+        # slots 0..n-1).  Mesh-sharded engines always run full-batch.
+        bucket = None
+        if self.mesh is None:
+            for b in self.config.engine.pair_buckets:
+                if n <= b < B:
+                    bucket = b
+                    break
+
         progress = 0
         while True:
             if bool(np.all(jax.device_get(state.done))):
                 break
             cache_len = final_cache if single else \
                 self._cache_len(base + progress + steps + 1)
-            state = self._decode_chunk(
-                self.params, state, sampling, cfg_scale_j, max_new_j, text_len_j,
-                num_steps=steps, cache_len=cache_len,
-            )
+            if bucket is not None:
+                state = self._decode_chunk_sliced(
+                    self.params, state, sampling, cfg_scale_j, max_new_j,
+                    text_len_j, num_steps=steps, cache_len=cache_len,
+                    bucket=bucket,
+                )
+            else:
+                state = self._decode_chunk(
+                    self.params, state, sampling, cfg_scale_j, max_new_j,
+                    text_len_j, num_steps=steps, cache_len=cache_len,
+                )
             progress += steps
 
         out = np.asarray(jax.device_get(state.out_tokens))

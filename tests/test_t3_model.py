@@ -156,3 +156,40 @@ def test_per_request_seed_reproducible(tiny):
     alone = eng.generate([mk(42)])
     cobatched = eng.generate([other, mk(42)])
     np.testing.assert_array_equal(alone[0].tokens, cobatched[1].tokens)
+
+
+def test_dense_engine_occupancy_bucket_parity():
+    """A short batch through the dense engine's sliced-prefix decode bucket
+    must reproduce the full-batch tokens (VERDICT r3 weak #4)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chatterbox_vllm2_tpu.config import (Config, EngineConfig,
+                                             SamplingConfig, T3Config)
+    from chatterbox_vllm2_tpu.engine import T3Engine, T3Request
+    from chatterbox_vllm2_tpu.models.t3.model import init_t3_params
+
+    t3 = T3Config.tiny()
+    params = init_t3_params(0, t3, jnp.float32)
+
+    def run(buckets):
+        cfg = Config(t3=t3, engine=EngineConfig(
+            max_batch_size=4, max_model_len=64, prefill_buckets=(16,),
+            kv_cache_dtype="float32", decode_steps_per_dispatch=4,
+            pair_buckets=buckets))
+        eng = T3Engine(cfg, params, compute_dtype=jnp.float32)
+        rng = np.random.RandomState(11)
+        reqs = [T3Request(
+            text_ids=rng.randint(1, t3.text_vocab_size, size=8).astype(np.int32),
+            cond_emb=(rng.randn(t3.cond_seq_len, t3.hidden_size) * 0.02
+                      ).astype(np.float32),
+            sampling=SamplingConfig(temperature=0.8, top_p=0.9,
+                                    repetition_penalty=1.3),
+            max_new_tokens=10, seed=5)]
+        return eng.generate(reqs)
+
+    a = run((1, 2))[0]
+    b = run(())[0]
+    np.testing.assert_array_equal(a.tokens, b.tokens)
