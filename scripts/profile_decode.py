@@ -49,7 +49,13 @@ def kv_bytes(cfg: T3Config, S: int, cache_len: int, dtype_bytes: int = 2) -> int
 def bench_kernels(quant: str) -> None:
     """Per-kernel roofline: each backbone matmul at decode shapes (16 rows)
     vs its weight-bandwidth bound.  Chained executions + one device_get (the
-    tunnel's block_until_ready returns early; see BENCH_NOTES.md)."""
+    tunnel's block_until_ready returns early; see BENCH_NOTES.md).
+
+    CAVEAT (measured 2026-08-21): isolated ops through the axon tunnel time
+    ~270 us/call regardless of weight size (1-10 MB), while the full decode
+    step averages ~8 us/op — isolated-op timing is NOT meaningful in this
+    environment; use scripts/attr_backbone.py's full-step ablations instead.
+    Kept for real (untunneled) TPU hosts."""
     import jax
     import jax.numpy as jnp
 

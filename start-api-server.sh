@@ -26,6 +26,8 @@ OPTIONS:
     --default        v5e (16 GB HBM): batch 8, len 1024, INT8 weights
     --throughput     v5e/v6e dedicated: batch 16, len 1024, INT4 AWQ weights
     --bf16           No quantization (debug / quality baseline)
+    --mesh DxM       Shard serving over a (data, model) device mesh,
+                     e.g. --mesh 2x4 on an 8-chip slice (continuous engine)
     --model NAME     'multilingual' (default) or 'english'
     --port PORT      Server port (default 8000)
     --host HOST      Bind host (default 0.0.0.0)
@@ -64,6 +66,7 @@ while [[ $# -gt 0 ]]; do
             QUANT_MODE="none"
             info "bf16: no quantization"
             shift ;;
+        --mesh)  MESH="$2"; shift 2 ;;
         --model) MODEL="$2"; shift 2 ;;
         --port)  PORT="$2"; shift 2 ;;
         --host)  HOST="$2"; shift 2 ;;
@@ -83,5 +86,6 @@ export CHATTERBOX_KV_CACHE_DTYPE="$KV_DTYPE"
 export CHATTERBOX_ENGINE="$ENGINE"
 export CHATTERBOX_HOST="$HOST"
 export CHATTERBOX_PORT="$PORT"
+[[ -n "${MESH:-}" ]] && export CHATTERBOX_MESH="$MESH"
 
 exec python3 -m chatterbox_vllm2_tpu.server.http
