@@ -12,10 +12,13 @@ Compile discipline: the persistent XLA cache is enabled (repo-local
 cold run compiles exactly one prefill + one decode program and every warm run
 starts in seconds.
 
-Env knobs: BENCH_BATCH (CFG pairs, default 8), BENCH_TOKENS (default 256),
-BENCH_MAX_LEN (default 384), BENCH_QUANT (none|int8|int4_awq, default int8 —
-the production serving config; measured on v5e: int8 987 tok/s > int4_awq
-940 > bf16 815, see BENCH_NOTES.md), BENCH_ENGINE (dense|paged, default dense).
+Env knobs: BENCH_BATCH (CFG pairs, default 16 — the launcher's --throughput
+preset; measured on v5e: 8 pairs 1117 tok/s, 16 pairs 1515, 32 pairs 1609
+but per-stream halves to 2x realtime), BENCH_TOKENS (default 256),
+BENCH_MAX_LEN (default 384), BENCH_QUANT (none|int8|int4_awq, default int8;
+int4_awq measured a statistical tie with int8 in round 4), BENCH_ENGINE
+(dense|paged), BENCH_BLOCK / BENCH_KV_DTYPE (paged page size / page dtype),
+BENCH_STEPS (decode steps per dispatch).  See BENCH_NOTES.md.
 """
 
 import json
@@ -120,7 +123,7 @@ def main() -> None:
     from chatterbox_vllm2_tpu.config import SamplingConfig
     from chatterbox_vllm2_tpu.engine import T3Request
 
-    B = int(os.environ.get("BENCH_BATCH", 8))
+    B = int(os.environ.get("BENCH_BATCH", 16))
     n_tokens = int(os.environ.get("BENCH_TOKENS", 256))
     max_len = int(os.environ.get("BENCH_MAX_LEN", 384))
     quant = os.environ.get("BENCH_QUANT", "int8")
