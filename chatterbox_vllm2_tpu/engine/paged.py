@@ -271,24 +271,27 @@ class PagedContinuousEngine:
     def _prefill_pair_impl(self, params, cond_emb, text_ids, text_len,
                            sampling, cfg_scale, keys):
         """Identical math to the dense pair prefill (prefill never reads the
-        cache — it IS the start of the sequence), returning the pair's K/V for
-        page scatter."""
+        cache — it IS the start of the sequence), returning n pairs' K/V for
+        page scatter.  A burst of pending requests shares ONE prefill
+        dispatch (padded to the admission bucket); per-pair slices feed the
+        admit scatter."""
         cfg = self.t3cfg
+        n = text_ids.shape[0]
         embeds, positions, prefill_len = build_prefill_embeds(
             params, cfg, cond_emb.astype(self.compute_dtype),
             text_ids, text_len)
         T = embeds.shape[1]
-        kv = KVCache.zeros(cfg, 2, T, jnp.bfloat16)
+        kv = KVCache.zeros(cfg, 2 * n, T, jnp.bfloat16)
         hidden, kv = t3_prefill(
             params, cfg, embeds, positions, prefill_len, kv, *self._rope,
             layer_mode=self.config.engine.layer_mode)
-        last = hidden[jnp.arange(2), prefill_len - 1]
+        last = hidden[jnp.arange(2 * n), prefill_len - 1]
         logits = cfg_combine(
             speech_logits(params, last, cfg.speech_vocab_size), cfg_scale)
-        seen = jnp.zeros((1, cfg.speech_vocab_size), bool)
+        seen = jnp.zeros((n, cfg.speech_vocab_size), bool)
         use, keys = split_keys(keys)
         tok = sample(logits, sampling, seen, use)
-        seen = seen.at[0, tok[0]].set(True)
+        seen = seen.at[jnp.arange(n), tok].set(True)
         return kv.k, kv.v, prefill_len, tok, seen, keys
 
     def _admit_impl(self, state: PagedDecodeState, sampling, cfg_scale,
@@ -457,60 +460,103 @@ class PagedContinuousEngine:
                 done=self._state.done.at[victim].set(True))
             changed = True
 
-    def _admit_one(self, slot: int, rid: str, req: T3Request) -> bool:
-        cfg = self.t3cfg
-        L = len(req.text_ids)
-        Tt = self._bucket_len(L)
-        T = cfg.cond_seq_len + Tt + 1
+    # Burst-admission sub-batch sizes (one prefill dispatch per burst; the
+    # paged analog of ContinuousEngine.ADMIT_BUCKETS).
+    ADMIT_BUCKETS = (1, 2, 4, 8)
+
+    def _reserve_slot(self, slot: int, req: T3Request):
+        """Reserve the pair's initial pages; returns the [2, NB] table rows
+        or None on pool exhaustion."""
+        Tt = self._bucket_len(len(req.text_ids))
+        T = self.t3cfg.cond_seq_len + Tt + 1
         nb0 = -(-T // self.bs)
         rows = (2 * slot, 2 * slot + 1)
         for row in rows:
             if not self.alloc.reserve(row, nb0):
                 for r in rows:
                     self.alloc.release(r)
-                return False
-        pair_tables = np.stack([np.maximum(self.alloc.table(r), 0)
-                                for r in rows])
+                return None
+        return np.stack([np.maximum(self.alloc.table(r), 0) for r in rows])
 
-        text_ids = np.zeros((1, Tt), np.int32)
-        text_ids[0, :L] = req.text_ids
-        req_sampling = SamplingState.broadcast(
-            1, temperature=req.sampling.temperature, top_p=req.sampling.top_p,
-            min_p=req.sampling.min_p,
-            repetition_penalty=req.sampling.repetition_penalty)
-        seed = req.seed if req.seed is not None else next(self._seed)
-        kv_k, kv_v, prefill_len, tok, seen, keys_row = self._prefill_pair(
-            self.params, jnp.asarray(req.cond_emb, jnp.float32)[None],
-            jnp.asarray(text_ids), jnp.asarray([L], jnp.int32),
-            req_sampling, jnp.asarray([req.sampling.cfg_scale], jnp.float32),
-            make_keys(np.asarray([seed], np.int64)))
-        (self._state, self._sampling, self._cfg_scale, self._max_new,
-         self._text_len) = self._admit(
-            self._state, self._sampling, self._cfg_scale, self._max_new,
-            self._text_len, jnp.asarray(slot, jnp.int32),
-            jnp.asarray(pair_tables),
-            kv_k, kv_v, prefill_len, tok, seen, keys_row,
-            req_sampling,
-            jnp.asarray([req.sampling.cfg_scale], jnp.float32),
-            jnp.asarray([min(req.max_new_tokens, req.sampling.max_tokens,
-                             self.max_len - T - 1)], jnp.int32),
-            jnp.asarray([L], jnp.int32))
-        self._active[slot] = (rid, req, time.time())
+    def _admit_one(self, slot: int, rid: str, req: T3Request) -> bool:
+        pair_tables = self._reserve_slot(slot, req)
+        if pair_tables is None:
+            return False
+        self._admit_chunk(self._bucket_len(len(req.text_ids)),
+                          [(slot, rid, req, pair_tables)])
         return True
+
+    def _admit_chunk(self, Tt: int, chunk: list) -> None:
+        """Prefill + admit same-text-bucket reserved requests in one padded
+        prefill dispatch; page scatters consume per-pair slices."""
+        cfg = self.t3cfg
+        T = cfg.cond_seq_len + Tt + 1
+        n = next(b for b in self.ADMIT_BUCKETS if len(chunk) <= b)
+        text_ids = np.zeros((n, Tt), np.int32)
+        text_len = np.ones((n,), np.int32)
+        cond = np.zeros((n, cfg.cond_seq_len, cfg.hidden_size), np.float32)
+        cfg_scale = np.full((n,), 0.5, np.float32)
+        seeds = np.zeros((n,), np.int64)
+        samp = dict(temperature=np.full(n, 1.0, np.float32),
+                    top_p=np.ones(n, np.float32),
+                    min_p=np.zeros(n, np.float32),
+                    repetition_penalty=np.ones(n, np.float32))
+        for r, (slot, rid, req, _) in enumerate(chunk):
+            L = len(req.text_ids)
+            text_ids[r, :L] = req.text_ids
+            text_len[r] = L
+            cond[r] = req.cond_emb
+            cfg_scale[r] = req.sampling.cfg_scale
+            seeds[r] = req.seed if req.seed is not None else next(self._seed)
+            samp["temperature"][r] = req.sampling.temperature
+            samp["top_p"][r] = req.sampling.top_p
+            samp["min_p"][r] = req.sampling.min_p
+            samp["repetition_penalty"][r] = req.sampling.repetition_penalty
+        sampling = SamplingState(**{k: jnp.asarray(v) for k, v in samp.items()})
+        kv_k, kv_v, prefill_len, tok, seen, keys = self._prefill_pair(
+            self.params, jnp.asarray(cond), jnp.asarray(text_ids),
+            jnp.asarray(text_len), sampling, jnp.asarray(cfg_scale),
+            make_keys(seeds))
+        for r, (slot, rid, req, pair_tables) in enumerate(chunk):
+            L = len(req.text_ids)
+            req_sampling = SamplingState(*(a[r:r + 1] for a in sampling))
+            (self._state, self._sampling, self._cfg_scale, self._max_new,
+             self._text_len) = self._admit(
+                self._state, self._sampling, self._cfg_scale, self._max_new,
+                self._text_len, jnp.asarray(slot, jnp.int32),
+                jnp.asarray(pair_tables),
+                kv_k[:, 2 * r: 2 * r + 2], kv_v[:, 2 * r: 2 * r + 2],
+                prefill_len[2 * r: 2 * r + 2], tok[r:r + 1], seen[r:r + 1],
+                keys[r:r + 1],
+                req_sampling,
+                jnp.asarray([req.sampling.cfg_scale], jnp.float32),
+                jnp.asarray([min(req.max_new_tokens, req.sampling.max_tokens,
+                                 self.max_len - T - 1)], jnp.int32),
+                jnp.asarray([L], jnp.int32))
+            self._active[slot] = (rid, req, time.time())
 
     def step(self) -> list[T3Result]:
         before = set(self._results)
         done_host = np.array(jax.device_get(self._state.done))
+        batch = []
         for slot in range(self.B):
             if not self._pending:
                 break
             if bool(done_host[slot]) and slot not in self._active:
                 rid, req = self._pending.popleft()
-                if self._admit_one(slot, rid, req):
-                    done_host[slot] = False
-                else:
+                pair_tables = self._reserve_slot(slot, req)
+                if pair_tables is None:       # pool exhausted: stop admitting
                     self._pending.appendleft((rid, req))
                     break
+                batch.append((slot, rid, req, pair_tables))
+                done_host[slot] = False
+        groups: dict[int, list] = {}
+        for entry in batch:
+            groups.setdefault(self._bucket_len(len(entry[2].text_ids)),
+                              []).append(entry)
+        for Tt, grp in groups.items():
+            for j in range(0, len(grp), self.ADMIT_BUCKETS[-1]):
+                self._admit_chunk(Tt, grp[j:j + self.ADMIT_BUCKETS[-1]])
 
         if self._active:
             steps = self.config.engine.decode_steps_per_dispatch
