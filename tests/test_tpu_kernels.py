@@ -82,3 +82,54 @@ def test_paged_attention_compiled_matches_dense():
         probs /= probs.sum(-1, keepdims=True)
         ref = np.einsum("hl,lhd->hd", probs, vs)
         np.testing.assert_allclose(out[s], ref, rtol=0.05, atol=0.05)
+
+
+@tpu_only
+def test_dense_decode_attention_compiled_matches_xla():
+    """The fused dense decode-attention kernel (ops/dense_attention.py),
+    COMPILED on hardware, vs the XLA einsum path — bf16 cache and INT8
+    cache with per-(token, head) scales."""
+    from chatterbox_vllm2_tpu.ops.dense_attention import dense_decode_attention
+
+    rng = np.random.RandomState(3)
+    L, S, H, M, D = 3, 8, 16, 128, 64
+    k_cache = jnp.asarray(rng.randn(L, S, H, M, D) * 0.3, jnp.bfloat16)
+    v_cache = jnp.asarray(rng.randn(L, S, H, M, D) * 0.3, jnp.bfloat16)
+    q = jnp.asarray(rng.randn(S, H, D) * 0.3, jnp.bfloat16)
+    lengths = jnp.asarray(rng.randint(5, M - 1, size=S), jnp.int32)
+    layer = jnp.asarray(1, jnp.int32)
+    scale = D ** -0.5
+
+    def xla_ref(kc, vc):
+        kk = kc[1]
+        vv = vc[1]
+        scores = jnp.einsum("shd,shmd->shm", q, kk,
+                            preferred_element_type=jnp.float32) * scale
+        mask = jnp.arange(M)[None, :] <= lengths[:, None]
+        scores = jnp.where(mask[:, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        return np.asarray(jnp.einsum("shm,shmd->shd", probs.astype(vv.dtype),
+                                     vv, preferred_element_type=jnp.float32))
+
+    out = np.asarray(dense_decode_attention(
+        q, k_cache, v_cache, layer, lengths, cache_len=M, sm_scale=scale,
+        interpret=False))
+    np.testing.assert_allclose(out, xla_ref(k_cache, v_cache),
+                               rtol=0.05, atol=0.02)
+
+    # INT8 cache path
+    def quant(c):
+        cf = c.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(cf), axis=-1)
+        scl = jnp.maximum(amax, 1e-8) / 127.0
+        qv = jnp.clip(jnp.round(cf / scl[..., None]), -127, 127).astype(jnp.int8)
+        return qv, scl
+
+    kq, ks = quant(k_cache)
+    vq, vs = quant(v_cache)
+    out8 = np.asarray(dense_decode_attention(
+        q, kq, vq, layer, lengths, cache_len=M, sm_scale=scale,
+        k_scales=ks, v_scales=vs, interpret=False))
+    ref8 = xla_ref(kq.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16),
+                   vq.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16))
+    np.testing.assert_allclose(out8, ref8, rtol=0.08, atol=0.03)
