@@ -32,6 +32,57 @@ _REPLACEMENTS = (
 _ENDERS = (".", "!", "?", "-", ",", "、", "，", "。", "？", "！")
 
 
+_SEGMENT_ENDERS = (".", "!", "?", "。", "？", "！", ";", "；")
+
+
+def split_segments(text: str, max_chars: int = 300,
+                   min_chars: int = 12) -> list[str]:
+    """Split text into sentence-ish segments for streaming synthesis.
+
+    Splits after sentence enders (Latin + CJK), merges fragments shorter
+    than `min_chars` into their successor, and hard-wraps runs longer than
+    `max_chars` at the last space.  Segments concatenate back to the input
+    (modulo surrounding whitespace)."""
+    text = text.strip()
+    if not text:
+        return []
+    parts: list[str] = []
+    start = 0
+    for i, ch in enumerate(text):
+        if ch in _SEGMENT_ENDERS and (i + 1 == len(text)
+                                      or text[i + 1] in (" ", "\n", "\t")
+                                      or ord(ch) > 0x2000):
+            seg = text[start:i + 1].strip()
+            if seg:
+                parts.append(seg)
+            start = i + 1
+    tail = text[start:].strip()
+    if tail:
+        parts.append(tail)
+    # merge tiny fragments forward
+    merged: list[str] = []
+    for seg in parts:
+        if merged and len(merged[-1]) < min_chars:
+            merged[-1] = f"{merged[-1]} {seg}"
+        else:
+            merged.append(seg)
+    if len(merged) > 1 and len(merged[-1]) < min_chars:
+        merged[-2] = f"{merged[-2]} {merged[-1]}"
+        merged.pop()
+    # hard-wrap overlong runs at spaces
+    out: list[str] = []
+    for seg in merged:
+        while len(seg) > max_chars:
+            cut = seg.rfind(" ", min_chars, max_chars)
+            if cut < 0:
+                cut = max_chars
+            out.append(seg[:cut].strip())
+            seg = seg[cut:].strip()
+        if seg:
+            out.append(seg)
+    return out
+
+
 def punc_norm(text: str) -> str:
     """Normalise punctuation; capitalise; guarantee a sentence ender."""
     if not text:

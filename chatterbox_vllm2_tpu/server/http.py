@@ -117,6 +117,55 @@ class _Handler(BaseHTTPRequestHandler):
                 break
             remaining -= len(chunk)
 
+    def _stream_speech(self, req) -> None:
+        """Chunked-transfer streaming: one audio chunk per sentence segment
+        (pcm raw samples / mp3 frames — both concatenate losslessly).  The
+        first chunk leaves at first-sentence latency while later segments
+        are still decoding in the engine batch."""
+        from ..frontend.audio import FORMAT_CONTENT_TYPES
+
+        gen = self.service.synthesize_stream(
+            req, timeout=self.synthesis_timeout_s)
+        headers_sent = False
+        try:
+            for chunk, media_type in gen:
+                if not chunk:
+                    continue
+                if not headers_sent:
+                    self.send_response(200)
+                    self.send_header("Content-Type", media_type)
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    headers_sent = True
+                self.wfile.write(f"{len(chunk):x}\r\n".encode())
+                self.wfile.write(chunk)
+                self.wfile.write(b"\r\n")
+                self.wfile.flush()
+            if not headers_sent:      # empty synthesis: still a valid stream
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 FORMAT_CONTENT_TYPES.get(
+                                     req.response_format, "audio/pcm"))
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+        except (ValidationError, ValueError) as e:
+            if not headers_sent:
+                self._error(400, str(e))
+            else:
+                self.close_connection = True
+        except TimeoutError as e:
+            if not headers_sent:
+                self._error(504, str(e))
+            else:
+                self.close_connection = True
+        except Exception as e:
+            if not headers_sent:
+                self._error(500, f"Failed to generate speech: {e}")
+            else:                     # mid-stream failure: truncate
+                self.close_connection = True
+
     def do_POST(self) -> None:
         if self.path != "/v1/audio/speech":
             self._drain_body()
@@ -144,6 +193,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._error(400, "request body must be valid JSON")
                 return
             req = parse_tts_request(body)
+            if req.stream:
+                self._stream_speech(req)
+                return
             audio, media_type, _metrics = self.service.synthesize(
                 req, timeout=self.synthesis_timeout_s)
             self._send(200, audio, media_type)

@@ -39,6 +39,10 @@ class TTSRequest:
     max_tokens: int = 1000
     diffusion_steps: int = 10
     seed: int = 0
+    # stream=true: chunked-transfer response, one audio chunk per sentence
+    # segment (pcm/mp3 only — frame/sample concatenative containers).  A
+    # capability beyond the reference (its route is strictly one-shot).
+    stream: bool = False
 
 
 def _number(body: Mapping[str, Any], key: str, default: float,
@@ -74,6 +78,13 @@ def parse_tts_request(body: Any) -> TTSRequest:
     language_id = body.get("language_id")
     if language_id is not None and not isinstance(language_id, str):
         raise ValidationError("'language_id' must be a string")
+    stream = body.get("stream", False)
+    if not isinstance(stream, bool):
+        raise ValidationError("'stream' must be a boolean")
+    if stream and fmt not in ("pcm", "mp3"):
+        raise ValidationError(
+            "'stream' requires response_format 'pcm' or 'mp3' "
+            "(concatenative containers)")
 
     return TTSRequest(
         input=text,
@@ -91,4 +102,5 @@ def parse_tts_request(body: Any) -> TTSRequest:
         max_tokens=int(_number(body, "max_tokens", 1000, 1, 4096)),
         diffusion_steps=int(_number(body, "diffusion_steps", 10, 1, 100)),
         seed=int(_number(body, "seed", 0, 0, 2**31 - 1)),
+        stream=stream,
     )

@@ -130,6 +130,38 @@ class TTSService:
             raise job.error
         return job.audio, job.media_type, job.metrics
 
+    def synthesize_stream(self, req: TTSRequest,
+                          timeout: Optional[float] = None):
+        """Streaming entry: yields (audio_chunk, media_type) per sentence
+        segment, in order.  ALL segments are queued up front so they ride the
+        continuous engine's batch concurrently — the first chunk arrives at
+        first-sentence latency while later sentences are still decoding.  A
+        capability the reference does not have (its route is one-shot,
+        reference `api_server.py:228-329`)."""
+        import dataclasses
+
+        from ..frontend.text import split_segments
+
+        segments = split_segments(req.input) or [req.input]
+        language_id = self.resolve_language(req)
+        wav_path = self.voices.get_voice_reference(req.voice)
+        jobs = []
+        for seg in segments:
+            job = _Job(request=dataclasses.replace(req, input=seg),
+                       language_id=language_id, wav_path=wav_path)
+            self._queue.put(job)
+            jobs.append(job)
+        deadline = (time.monotonic() + timeout) if timeout else None
+        for job in jobs:
+            remaining = (deadline - time.monotonic()) if deadline else None
+            if not job.done.wait(remaining):
+                raise TimeoutError("streaming synthesis timed out")
+            if job.error is not None:
+                with self._counters_lock:
+                    self._counters["errors_total"] += 1
+                raise job.error
+            yield job.audio, job.media_type
+
     def counters(self) -> dict:
         with self._counters_lock:
             return dict(self._counters)

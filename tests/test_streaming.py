@@ -1,0 +1,98 @@
+"""Streaming synthesis: sentence segmentation, the service generator, and
+the chunked HTTP route (a capability beyond the reference's one-shot route)."""
+
+import http.client
+import json
+
+import numpy as np
+import pytest
+
+from chatterbox_vllm2_tpu.frontend.text import split_segments
+from chatterbox_vllm2_tpu.server.schema import ValidationError, parse_tts_request
+
+
+# --------------------------------------------------------------------- #
+# segmentation
+# --------------------------------------------------------------------- #
+
+def test_split_segments_sentences():
+    segs = split_segments(
+        "First sentence is long enough. Second one also carries on fine! "
+        "Third, a question then? Yes.")
+    assert segs == [
+        "First sentence is long enough.",
+        "Second one also carries on fine!",
+        "Third, a question then? Yes.",   # short tail merged backward
+    ]
+
+
+def test_split_segments_merges_tiny_and_wraps_long():
+    segs = split_segments("Hi. " + "word " * 120 + "end.", max_chars=200)
+    assert len(segs) >= 3
+    assert all(len(s) <= 200 for s in segs)
+    assert segs[0].startswith("Hi. word")       # tiny lead merged forward
+    joined = " ".join(segs)
+    assert joined.replace(" ", "") == ("Hi. " + "word " * 120 + "end."
+                                       ).replace(" ", "")
+
+
+def test_split_segments_cjk():
+    segs = split_segments("这是第一句话，内容足够长了吗。这是第二句话，它也同样不算短呀！")
+    assert len(segs) == 2
+
+
+def test_split_segments_empty():
+    assert split_segments("   ") == []
+
+
+# --------------------------------------------------------------------- #
+# schema
+# --------------------------------------------------------------------- #
+
+def test_stream_schema():
+    r = parse_tts_request({"input": "hi", "stream": True,
+                           "response_format": "pcm"})
+    assert r.stream
+    with pytest.raises(ValidationError):
+        parse_tts_request({"input": "hi", "stream": True,
+                           "response_format": "wav"})
+    with pytest.raises(ValidationError):
+        parse_tts_request({"input": "hi", "stream": "yes"})
+
+
+# --------------------------------------------------------------------- #
+# service + HTTP (reuses the tiny-model fixtures from test_api_server)
+# --------------------------------------------------------------------- #
+
+from tests.test_api_server import server, service, tiny_vocab  # noqa: E402,F401
+
+
+def test_streaming_service_generator(service):  # noqa: F811
+    req = parse_tts_request({
+        "input": "This is the first piece of text to speak. "
+                 "And here then comes the second part of it.",
+        "response_format": "pcm", "stream": True,
+        "max_tokens": 8, "diffusion_steps": 2,
+    })
+    chunks = list(service.synthesize_stream(req, timeout=300))
+    assert len(chunks) == 2
+    for audio, media in chunks:
+        assert media == "audio/pcm"
+        assert isinstance(audio, bytes) and len(audio) % 2 == 0
+
+
+def test_streaming_http_chunked(server):  # noqa: F811
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=300)
+    conn.request("POST", "/v1/audio/speech", body=json.dumps({
+        "input": "Stream me the first sentence now. Then stream the second "
+                 "sentence right after it.",
+        "response_format": "pcm", "stream": True,
+        "max_tokens": 8, "diffusion_steps": 2,
+    }), headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Transfer-Encoding") == "chunked"
+    assert resp.getheader("Content-Type") == "audio/pcm"
+    data = resp.read()          # http.client de-chunks
+    conn.close()
+    assert len(data) > 0 and len(data) % 2 == 0
