@@ -484,3 +484,76 @@ class ChatterboxTTS:
             "audio_s": round(sum(len(w) for w in wavs) / self.SR, 2),
         }
         return wavs
+
+    def generate_stream(
+        self,
+        prompt: str,
+        audio_prompt_path: Optional[str] = None,
+        conds: Optional[Conditionals] = None,
+        language_id: Optional[str] = "en",
+        exaggeration: float = 0.5,
+        temperature: float = 0.8,
+        top_p: float = 1.0,
+        min_p: float = 0.05,
+        repetition_penalty: float = 2.0,
+        cfg_scale: float = 0.5,
+        max_tokens: int = 1000,
+        diffusion_steps: int = 10,
+        seed: int = 0,
+    ):
+        """Streaming synthesis: yields one wav (float32 @ 24 kHz) per
+        sentence segment of `prompt`, in order — the library analog of the
+        server's `stream=true` route (a capability the reference lacks).
+
+        With the continuous engine, ALL segments are submitted up front and
+        harvested incrementally: the first wav is yielded as soon as the
+        first segment's tokens land and vocode, while later segments are
+        still decoding in the same device batch."""
+        from .frontend.text import split_segments
+
+        segments = split_segments(prompt) or [prompt]
+        if not hasattr(self.engine, "submit"):       # dense barrier engine
+            for i, seg in enumerate(segments):
+                yield self.generate(
+                    [seg], audio_prompt_path=audio_prompt_path, conds=conds,
+                    language_id=language_id, exaggeration=exaggeration,
+                    temperature=temperature, top_p=top_p, min_p=min_p,
+                    repetition_penalty=repetition_penalty,
+                    cfg_scale=cfg_scale, max_tokens=max_tokens,
+                    diffusion_steps=diffusion_steps, seed=seed + i)[0]
+            return
+
+        if conds is None:
+            conds = self.get_audio_conditionals(audio_prompt_path)
+        cond_emb = self.update_exaggeration(conds, exaggeration)
+        sampling = SamplingConfig(
+            temperature=temperature, top_p=top_p, min_p=min_p,
+            repetition_penalty=repetition_penalty, max_tokens=max_tokens,
+            cfg_scale=cfg_scale,
+        )
+        rids = []
+        for i, seg in enumerate(segments):
+            ids = np.asarray(
+                self.tokenizer.encode(
+                    punc_norm(seg),
+                    language_id if self.variant == "multilingual" else None),
+                np.int32)
+            rids.append(self.engine.submit(T3Request(
+                text_ids=ids, cond_emb=cond_emb, sampling=sampling,
+                max_new_tokens=max_tokens, seed=seed + i)))
+
+        ready: dict = {}
+        vocab = self.config.s3gen.speech_vocab_size
+        for k, rid in enumerate(rids):
+            while rid not in ready:
+                for res in self.engine.step():
+                    ready[res.request_id] = res
+            res = ready.pop(rid)
+            toks = res.tokens
+            toks = toks[(toks >= 0) & (toks < vocab)]
+            if len(toks):
+                yield self.s3gen.inference(toks, conds.ref,
+                                           n_timesteps=diffusion_steps,
+                                           seed=seed + k)
+            else:
+                yield np.zeros(0, np.float32)

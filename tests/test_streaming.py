@@ -96,3 +96,24 @@ def test_streaming_http_chunked(server):  # noqa: F811
     data = resp.read()          # http.client de-chunks
     conn.close()
     assert len(data) > 0 and len(data) % 2 == 0
+
+
+def test_library_generate_stream_matches_batch(service):  # noqa: F811
+    """ChatterboxTTS.generate_stream yields per-segment wavs identical to a
+    batched generate() over the same segments (same seeds end-to-end)."""
+    from chatterbox_vllm2_tpu.frontend.text import split_segments
+
+    model = service.model
+    wav = service.voices.get_voice_reference("alloy")
+    prompt = ("The first sentence goes here nicely. And the second one "
+              "follows right after it.")
+    segments = split_segments(prompt)
+    assert len(segments) == 2
+    batch = model.generate(segments, audio_prompt_path=wav, max_tokens=8,
+                           diffusion_steps=2, seed=3)
+    streamed = list(model.generate_stream(prompt, audio_prompt_path=wav,
+                                          max_tokens=8, diffusion_steps=2,
+                                          seed=3))
+    assert len(streamed) == len(batch) == 2
+    for a, b in zip(streamed, batch):
+        np.testing.assert_allclose(a, b, atol=1e-5)
