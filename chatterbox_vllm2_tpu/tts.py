@@ -508,7 +508,11 @@ class ChatterboxTTS:
         With the continuous engine, ALL segments are submitted up front and
         harvested incrementally: the first wav is yielded as soon as the
         first segment's tokens land and vocode, while later segments are
-        still decoding in the same device batch."""
+        still decoding in the same device batch.
+
+        The engine is single-threaded by design: don't drive it directly
+        while a `TTSService` worker owns the same model — use the service's
+        `synthesize_stream` in that case."""
         from .frontend.text import split_segments
 
         segments = split_segments(prompt) or [prompt]

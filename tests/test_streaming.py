@@ -98,13 +98,58 @@ def test_streaming_http_chunked(server):  # noqa: F811
     assert len(data) > 0 and len(data) % 2 == 0
 
 
-def test_library_generate_stream_matches_batch(service):  # noqa: F811
+@pytest.fixture(scope="module")
+def standalone_model(tiny_vocab, tmp_path_factory):  # noqa: F811
+    """A model with NO service worker: the library streaming API drives the
+    engine directly, and the engine is single-threaded by design (the
+    serving layer owns it; mixing both callers races)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from chatterbox_vllm2_tpu.config import (Config, ConformerConfig,
+                                             EngineConfig, S3GenConfig,
+                                             S3TokenizerConfig, T3Config,
+                                             UNetConfig)
+    from chatterbox_vllm2_tpu.frontend.audio import write_wav
+    from chatterbox_vllm2_tpu.frontend.tokenizer import SpeechTextTokenizer
+    from chatterbox_vllm2_tpu.models.s3gen.s3gen import S3GenEngine
+    from chatterbox_vllm2_tpu.tts import ChatterboxTTS
+
+    config = Config(
+        t3=T3Config.tiny(),
+        engine=EngineConfig(max_batch_size=2, max_model_len=128,
+                            prefill_buckets=(64,), kv_cache_dtype="float32"),
+        s3gen=dataclasses.replace(
+            S3GenConfig(),
+            encoder=dataclasses.replace(ConformerConfig(), num_blocks=1,
+                                        num_up_blocks=1, linear_units=128),
+            unet=dataclasses.replace(UNetConfig(), num_mid_blocks=1,
+                                     channels=64),
+        ),
+        s3tokenizer=dataclasses.replace(S3TokenizerConfig(), n_audio_state=64,
+                                        n_audio_head=4, n_audio_layer=1),
+    )
+    model = ChatterboxTTS.from_random(config, compute_dtype=jnp.float32)
+    model.tokenizer = SpeechTextTokenizer(tiny_vocab, multilingual=False)
+    model.s3gen = S3GenEngine(model.s3gen.params, config.s3gen,
+                              token_buckets=(64,), max_prompt_tokens=32,
+                              campplus_params=model.s3gen.campplus_params,
+                              s3tok_model=model.s3gen.s3tok)
+    rng = np.random.RandomState(0)
+    wav_dir = tmp_path_factory.mktemp("stream_voice")
+    wav = wav_dir / "voice.wav"
+    wav.write_bytes(write_wav((rng.randn(24000) * 0.1).astype(np.float32),
+                              24000))
+    return model, str(wav)
+
+
+def test_library_generate_stream_matches_batch(standalone_model):
     """ChatterboxTTS.generate_stream yields per-segment wavs identical to a
     batched generate() over the same segments (same seeds end-to-end)."""
     from chatterbox_vllm2_tpu.frontend.text import split_segments
 
-    model = service.model
-    wav = service.voices.get_voice_reference("alloy")
+    model, wav = standalone_model
     prompt = ("The first sentence goes here nicely. And the second one "
               "follows right after it.")
     segments = split_segments(prompt)
