@@ -155,31 +155,33 @@ def main() -> None:
     total = sum(len(r.tokens) + (1 if r.finished_by_stop else 0) for r in res)
     tps = total / dt
 
-    e2e = {}
-    if os.environ.get("BENCH_E2E", "1") == "1":   # default ON (VERDICT r3 #3)
-        e2e = bench_e2e(jax, jnp, eng, res, dt, mark)
-
     # T3-side real-time factor: 25 speech tokens == 1 s of audio
-    # (reference s3tokenizer.py:18).  Audio seconds generated per wall second.
-    audio_s = total / 25.0
+    # (reference s3tokenizer.py:18).
+    baseline = 180.0  # reference README.md:325 (RTX 3090)
     per_stream = tps / B
     steps = max(len(r.tokens) + (1 if r.finished_by_stop else 0) for r in res)
-    step_ms = 1000.0 * dt / max(steps, 1)
-
-    baseline = 180.0  # reference README.md:325 (RTX 3090)
-    print(json.dumps({
+    line = {
         "metric": "speech_tokens_per_s",
         "value": round(tps, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tps / baseline, 3),
         "per_stream_tok_s": round(per_stream, 1),
-        "t3_rtf": round(dt / audio_s, 4),
-        "decode_step_ms": round(step_ms, 2),
+        "t3_rtf": round(dt / (total / 25.0), 4),
+        "decode_step_ms": round(1000.0 * dt / max(steps, 1), 2),
         "batch_pairs": B,
         "quant_mode": quant,
         "engine": engine_kind,
-        **e2e,
-    }))
+    }
+    # Emit the T3-only line NOW, then the complete line (with the e2e fields)
+    # after the S3Gen phase — the harness records the LAST stdout line, so a
+    # timeout mid-e2e still leaves a valid headline.
+    print(json.dumps(line), flush=True)
+
+    e2e = {}
+    if os.environ.get("BENCH_E2E", "1") == "1":   # default ON (VERDICT r3 #3)
+        e2e = bench_e2e(jax, jnp, eng, res, dt, mark)
+        print(json.dumps({**line, **e2e}), flush=True)
+
 
 
 if __name__ == "__main__":
