@@ -43,7 +43,7 @@ def build_engine(jax, jnp, B, max_len, quant_mode, engine_kind):
                             prefill_buckets=(64,), quant_mode=quant_mode,
                             cache_len_schedule="single",
                             decode_steps_per_dispatch=steps,
-                            kv_block_size=int(os.environ.get("BENCH_BLOCK", 16)),
+                            kv_block_size=int(os.environ.get("BENCH_BLOCK", 128)),
                             kv_cache_dtype=os.environ.get(
                                 "BENCH_KV_DTYPE", "bfloat16")),
     )

@@ -270,10 +270,12 @@ class EngineConfig:
     # should.  Buckets that don't fit max_model_len are skipped at runtime.
     # 2048 matches the reference's max_text_tokens (t3_config.py:5).
     prefill_buckets: tuple = (64, 128, 256, 512, 1024, 2048)
-    # Paged-KV page size (tokens).  64 measured fastest on v5e (fewer kernel
-    # grid steps: 617 tok/s vs 553 at 16 with the same nb_active bound,
-    # BENCH_NOTES.md); granularity waste is <= 63 tokens/stream tail.
-    kv_block_size: int = 64
+    # Paged-KV page size (tokens).  Pages are pair-level [H, bs, 2*head_dim]
+    # (ops/paged_attention.py).  128 keeps every DMA large and — required for
+    # INT8 pages — makes the f32 scale rows [H, 128] exactly lane-aligned
+    # (Mosaic rejects HBM slices whose minor dim isn't a 128 multiple).
+    # Granularity waste is <= 127 tokens per request tail.
+    kv_block_size: int = 128
     kv_cache_dtype: str = "bfloat16"    # or "int8" (paged engine)
     quant_mode: str = "none"            # none | int8 | int4_awq (T3 backbone)
     # quantize the audio-stack linears too (reference bnb swap for

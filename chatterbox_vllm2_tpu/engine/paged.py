@@ -1,23 +1,33 @@
-"""Paged-KV continuous engine: block tables + Pallas paged attention.
+"""Paged-KV continuous engine: pair-level block tables + Pallas paged attention.
 
-The paged twin of `scheduler.ContinuousEngine` (dense slotted cache).  The
-KV cache is a pool of fixed-size pages shared by all streams; the native C++
-allocator (`chatterbox_vllm2_tpu/native`) owns the free list and per-stream
-block tables, and pages are reserved *per decode chunk* — a stream holds only
+The paged twin of `scheduler.ContinuousEngine` (dense slotted cache).  The KV
+cache is a pool of fixed-size pages shared by all requests; the native C++
+allocator (`chatterbox_vllm2_tpu/native`) owns the free list and per-pair
+block tables, and pages are reserved *per decode chunk* — a request holds only
 the pages its current length needs, so long max_model_len no longer costs
-O(S * max_len) HBM (the reason vLLM exists; reference consumes this as
+O(S * max_len) HBM (the reason vLLM exists; the reference consumes this as
 PagedAttention, SURVEY.md §2.2).
 
-If a reservation fails (pool exhausted) the youngest active request is
-preempted — its pages are released and it is re-queued for a fresh prefill —
-matching vLLM's recompute-preemption policy.
+Each CFG pair owns ONE block table row: a page stores the cond and uncond
+streams side by side in its 128-lane rows (`ops/paged_attention.py` pair-lane
+layout), since both streams of a pair always share a length.  If a
+reservation fails (pool exhausted) the youngest active request is preempted —
+its pages are released and it is re-queued for a fresh prefill — matching
+vLLM's recompute-preemption policy.
 
 Decode attention runs in the Pallas kernel (`ops/paged_attention.py`),
-optionally over INT8 pages with per-(token, head) scales
+optionally over INT8 pages with per-(page, head, token) scales
 (`kv_cache_dtype="int8"`), quantized on append inside the jitted step.  The
-30 layers are a static Python loop with the page pools updated in place
-(stacked [L, P, H, bs, D], donated through the decode chunk) — a lax.scan
-over layers would copy the whole pool through the scan buffers every step.
+30 layers are a static Python loop; the stacked page pools are `pl.ANY`
+kernel operands updated in place (donated through the decode chunk), so no
+per-layer pool slices are ever materialized.
+
+Mesh support: pairs shard over 'data', heads over 'model'.  Every op that
+touches page ids (append scatter, prefill write, the kernel itself) runs
+inside a `shard_map` island so page ids stay shard-local: the pool's page
+axis is partitioned over 'data' and the host keeps one allocator per data
+shard handing out local ids.  The rest of the decode step stays GSPMD like
+the dense sharded engine.
 """
 
 from __future__ import annotations
@@ -32,6 +42,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..models.t3.model import (
@@ -48,19 +59,23 @@ from ..models.t3.model import (
 )
 from ..ops.norm import rms_norm
 from ..ops.paged_attention import (
-    paged_attention_decode,
-    quantize_kv,
+    append_layer_to_pages,
+    pack_pairs,
+    paged_attention_pairs,
+    quantize_pair_rows,
+    unpack_pairs,
     write_prefill_to_pages,
 )
+from ..ops.quant_matmul import quant_einsum
 from ..ops.rotary import apply_rope
 from ..ops.sampling import SamplingState, make_keys, sample, split_keys
 from .engine import T3Request, T3Result, alignment_analyzer_logits
 
 
 class PagedKV(NamedTuple):
-    """Stacked per-layer page pools.  k/v: [L, P, H, bs, D]; scales
-    [L, P, H, bs] f32 (present only for INT8 pages); tables: [S, NB] int32
-    page ids."""
+    """Stacked per-layer page pools.  k/v: [L, P, H, bs, 2D] pair-lane pages;
+    scales [L, P, H, bs] f32 (present only for INT8 pages); tables: [B, NB]
+    int32 page ids, one row per CFG pair (shard-local ids under a mesh)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -69,68 +84,76 @@ class PagedKV(NamedTuple):
     tables: jnp.ndarray
 
 
+def _attend_and_append(q, k, v, paged: PagedKV, lengths, *, layer: int,
+                       block_size: int, sm_scale: float, interpret: bool):
+    """Append the new token's K/V and attend over the paged cache for one
+    layer.  q/k/v: [S, H, D] post-RoPE.  Returns ([S, H, D] f32, new pools).
+    All page-id indexing happens here (kept shard-local under a mesh)."""
+    k_pages, v_pages, k_scl, v_scl = paged.k, paged.v, paged.k_scales, paged.v_scales
+    k_pages, v_pages, k_scl, v_scl = append_layer_to_pages(
+        k_pages, v_pages, k, v, layer, paged.tables, lengths,
+        block_size=block_size, k_scales=k_scl, v_scales=v_scl)
+    out = paged_attention_pairs(
+        pack_pairs(q), k_pages, v_pages, paged.tables, lengths + 1,
+        layer, block_size=block_size, sm_scale=sm_scale,
+        k_scales=k_scl, v_scales=v_scl, interpret=interpret)
+    return unpack_pairs(out), PagedKV(k_pages, v_pages, k_scl, v_scl,
+                                      paged.tables)
+
+
 def paged_backbone_decode(
     params: dict,
     cfg,
     x: jnp.ndarray,            # [S, hidden]
     paged: PagedKV,
-    lengths: jnp.ndarray,      # [S] int32 — tokens already in cache
+    lengths: jnp.ndarray,      # [B] int32 — tokens already in cache per pair
     rope_cos, rope_sin,
     *,
     block_size: int,
-    nb_active: int | None = None,
     interpret: bool = False,
+    mesh: Optional[Mesh] = None,
 ) -> tuple[jnp.ndarray, PagedKV]:
-    """One decode step over the paged cache.  Appends the new token's K/V to
-    each stream's current page in place, then runs the Pallas paged-attention
-    kernel on that layer's pool.
-
-    nb_active statically bounds the per-stream pages the kernel's grid
-    iterates (the paged analog of the dense engine's cache_len bucket): with
-    the full table the grid spins over every reserved-capacity page even when
-    streams are short — at bench shapes that was ~3/4 wasted grid steps
-    (VERDICT r3 weak #2)."""
+    """One decode step over the paged cache.  Appends the new token's packed
+    pair K/V to each pair's current page in place, then runs the Pallas
+    paged-attention kernel against the full stacked pool.  The per-pair page
+    loop inside the kernel is length-adaptive, so there is no nb_active
+    bucketing (and no recompiles as the batch lengthens)."""
     S, h = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
-    quantized = paged.k_scales is not None
-    rows = jnp.arange(S)
-    page = paged.tables[rows, lengths // block_size]             # [S]
-    off = lengths % block_size
-    pos = lengths[:, None]
-    k_pools, v_pools = paged.k, paged.v
-    k_scl, v_scl = paged.k_scales, paged.v_scales
+    pos = jnp.repeat(lengths, 2)[:, None]                    # [S, 1]
+
+    attend = _attend_and_append
+    if mesh is not None:
+        from jax import shard_map
+        pool_spec = P(None, "data", "model", None, None)
+        scl_spec = P(None, "data", "model", None)
+        kv_specs = PagedKV(
+            pool_spec, pool_spec,
+            None if paged.k_scales is None else scl_spec,
+            None if paged.v_scales is None else scl_spec,
+            P("data", None))
+
+        def attend(q, k, v, paged, lengths, **kw):
+            fn = functools.partial(_attend_and_append, **kw)
+            return shard_map(
+                fn, mesh=mesh,
+                in_specs=(P("data", "model", None),) * 3
+                + (kv_specs, P("data")),
+                out_specs=(P("data", "model", None), kv_specs),
+                check_rep=False,
+            )(q, k, v, paged, lengths)
 
     for l in range(cfg.num_layers):
         lp = _layer_params(params, l)
         resid = x
         y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-        q, k, v = _qkv(lp, y, cfg)                               # [S, nh, hd]
+        q, k, v = _qkv(lp, y, cfg)                           # [S, nh, hd]
         q = apply_rope(q[:, None], rope_cos, rope_sin, pos)[:, 0]
         k = apply_rope(k[:, None], rope_cos, rope_sin, pos)[:, 0]
-
-        if quantized:
-            k_q, k_s = quantize_kv(k)
-            v_q, v_s = quantize_kv(v)
-            k_pools = k_pools.at[l, page, :, off, :].set(k_q)
-            v_pools = v_pools.at[l, page, :, off, :].set(v_q)
-            k_scl = k_scl.at[l, page, :, off].set(k_s)
-            v_scl = v_scl.at[l, page, :, off].set(v_s)
-        else:
-            k_pools = k_pools.at[l, page, :, off, :].set(
-                k.astype(k_pools.dtype))
-            v_pools = v_pools.at[l, page, :, off, :].set(
-                v.astype(v_pools.dtype))
-
-        tables = (paged.tables if nb_active is None
-                  else paged.tables[:, :nb_active])
-        out = paged_attention_decode(
-            q.astype(jnp.float32), k_pools[l], v_pools[l], tables,
-            lengths + 1, block_size=block_size, sm_scale=hd ** -0.5,
-            k_scales=None if not quantized else k_scl[l],
-            v_scales=None if not quantized else v_scl[l],
-            interpret=interpret)
+        out, paged = attend(
+            q, k, v, paged, lengths, layer=l, block_size=block_size,
+            sm_scale=hd ** -0.5, interpret=interpret)
         out = out.reshape(S, nh * hd).astype(x.dtype)
-        from ..ops.quant_matmul import quant_einsum
         x = resid + quant_einsum(out, lp["o_proj"])
 
         resid = x
@@ -138,12 +161,26 @@ def paged_backbone_decode(
         x = resid + _mlp(lp, y)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, PagedKV(k_pools, v_pools, k_scl, v_scl, paged.tables)
+    return x, paged
+
+
+def _write_prefill_sharded(paged_k, paged_v, k_scl, v_scl, k_new, v_new,
+                           pair_tables, owner_shard, *, block_size):
+    """Shard-local prefill page write: only the data shard owning the slot
+    scatters (others redirect the write to out-of-range pages with
+    mode='drop' semantics via an invalid table)."""
+    me = jax.lax.axis_index("data")
+    tables = jnp.where(owner_shard == me, pair_tables,
+                       jnp.full_like(pair_tables, paged_k.shape[1]))
+    # out-of-range page ids: use explicit drop mode in the scatter
+    return write_prefill_to_pages(
+        paged_k, paged_v, k_new, v_new, tables, block_size=block_size,
+        k_scales=k_scl, v_scales=v_scl)
 
 
 class PagedDecodeState(NamedTuple):
     paged: PagedKV
-    lengths: jnp.ndarray        # [S]
+    lengths: jnp.ndarray        # [B] — per CFG pair
     speech_pos: jnp.ndarray     # [B]
     last_token: jnp.ndarray     # [B]
     prev_tokens: jnp.ndarray    # [B, 2]
@@ -156,21 +193,44 @@ class PagedDecodeState(NamedTuple):
     keys: jnp.ndarray           # [B, 2] raw uint32 PRNG keys
 
 
+def _state_specs(quantized: bool) -> PagedDecodeState:
+    """PartitionSpec pytree for the mesh-sharded paged decode state: pairs
+    over 'data', heads over 'model', page axis over 'data' (each data shard
+    owns a private sub-pool; ids in `tables` are shard-local)."""
+    pool = P(None, "data", "model", None, None)
+    scl = P(None, "data", "model", None) if quantized else None
+    return PagedDecodeState(
+        paged=PagedKV(pool, pool, scl, scl, P("data", None)),
+        lengths=P("data"),
+        speech_pos=P("data"),
+        last_token=P("data"),
+        prev_tokens=P("data", None),
+        completed_at=P("data"),
+        seen=P("data", None),
+        done=P("data"),
+        stopped=P("data"),
+        n_generated=P("data"),
+        out_tokens=P("data", None),
+        keys=P("data", None),
+    )
+
+
 class PagedContinuousEngine:
     """Continuous batching over the paged cache.  Same host API as
     `ContinuousEngine` (submit/step/run)."""
 
     def __init__(self, config: Config, params: dict,
                  compute_dtype=jnp.bfloat16, *, num_pages: Optional[int] = None,
-                 interpret: Optional[bool] = None, logit_processor=None):
+                 interpret: Optional[bool] = None, logit_processor=None,
+                 mesh: Optional[Mesh] = None):
         from ..native import make_block_allocator
         from ..ops.quant_matmul import quantize_t3_params
 
         self.config = config
         self.t3cfg = config.t3
-        self.params = quantize_t3_params(params, config.engine.quant_mode)
         self.compute_dtype = compute_dtype
         self.logit_processor = logit_processor
+        self.mesh = mesh
         ecfg = config.engine
         self.B = ecfg.max_batch_size
         self.S = 2 * self.B
@@ -179,21 +239,52 @@ class PagedContinuousEngine:
         self.bs = ecfg.kv_block_size
         self.NB = -(-self.max_len // self.bs)
         self.quantized = ecfg.kv_cache_dtype == "int8"
-        self.P = num_pages or self._size_pool()
+        self.n_shards = 1 if mesh is None else mesh.shape["data"]
+        if self.B % self.n_shards:
+            raise ValueError(
+                f"max_batch_size {self.B} not divisible by data shards "
+                f"{self.n_shards}")
+        self.B_local = self.B // self.n_shards
+        if mesh is not None and self.t3cfg.num_heads % mesh.shape["model"]:
+            raise ValueError("num_heads not divisible by 'model' axis")
+        total = num_pages or self._size_pool()
+        self.P_local = max(total // self.n_shards, 2)
+        self.P = self.P_local * self.n_shards
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
-        self.alloc = make_block_allocator(self.P, self.S, self.NB)
+        if self.quantized and not self.interpret and self.bs % 128:
+            raise ValueError(
+                "kv_cache_dtype='int8' needs kv_block_size % 128 == 0 on "
+                "TPU: the per-page f32 scale rows [H, bs] must be lane-"
+                "aligned for the kernel's DMA (Mosaic tiling constraint)")
+
+        params = quantize_t3_params(params, ecfg.quant_mode)
+        if mesh is not None:
+            from ..parallel.sharding import shard_engine_params
+            params = shard_engine_params(params, mesh)
+        self.params = params
+
+        # one allocator per data shard; table entries are shard-local ids
+        self.allocs = [make_block_allocator(self.P_local, self.B_local, self.NB)
+                       for _ in range(self.n_shards)]
         cos, sin = make_rope_tables(self.t3cfg, self.max_len)
         self._rope = (cos, sin)
 
         self._decode_chunk = jax.jit(
             self._decode_chunk_impl,
-            static_argnames=("num_steps", "nb_active"), donate_argnums=(1,))
+            static_argnames=("num_steps",), donate_argnums=(1,))
         self._prefill_pair = jax.jit(self._prefill_pair_impl)
         self._admit = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3, 4))
-        self._set_tables = jax.jit(
-            lambda st, t: st._replace(paged=st.paged._replace(tables=t)),
-            donate_argnums=(0,))
+        if mesh is None:
+            self._set_tables = jax.jit(
+                lambda st, t: st._replace(paged=st.paged._replace(tables=t)),
+                donate_argnums=(0,))
+        else:
+            tspec = NamedSharding(mesh, P("data", None))
+            self._set_tables = jax.jit(
+                lambda st, t: st._replace(paged=st.paged._replace(
+                    tables=jax.lax.with_sharding_constraint(t, tspec))),
+                donate_argnums=(0,))
 
         self._state = self._empty_state()
         self._sampling = SamplingState.broadcast(self.B)
@@ -212,20 +303,30 @@ class PagedContinuousEngine:
     def _kv_dtype(self):
         return jnp.int8 if self.quantized else jnp.bfloat16
 
+    def _shard_of(self, slot: int) -> int:
+        return slot // self.B_local
+
+    def _local_row(self, slot: int) -> int:
+        return slot % self.B_local
+
+    def _full_table(self) -> np.ndarray:
+        return np.concatenate([a.full_table() for a in self.allocs], axis=0)
+
     def _size_pool(self) -> int:
         """Size the page pool from live HBM stats (the analog of the
         reference sizing its KV cache from free VRAM, reference
         `tts.py:139-155`): weights are already resident at this point, so
         `bytes_limit - bytes_in_use` is the real budget.  Falls back to 75%
         of the dense-equivalent footprint when stats are unavailable
-        (CPU/interpret runs)."""
+        (CPU/interpret runs).  A page holds both CFG streams of `bs` tokens
+        across all layers."""
         cfg = self.t3cfg
-        per_tok = cfg.num_layers * cfg.num_kv_heads * cfg.head_dim
+        per_tok = cfg.num_layers * cfg.num_kv_heads * (2 * cfg.head_dim)
         page_bytes = 2 * per_tok * self.bs * (1 if self.quantized else 2)
-        if self.quantized:   # + f32 scale per (layer, token, head) for k and v
+        if self.quantized:   # + f32 scale per (layer, head, token) for k and v
             page_bytes += 2 * cfg.num_layers * cfg.num_kv_heads * self.bs * 4
         floor = max(2 * self.NB, 4)
-        cap = self.S * self.NB                      # dense equivalent
+        cap = self.B * self.NB                      # dense equivalent
         util = float(os.environ.get("CHATTERBOX_HBM_UTILIZATION", 0.85))
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
@@ -237,21 +338,21 @@ class PagedContinuousEngine:
             return max(cap * 3 // 4, floor)
 
     def _empty_state(self) -> PagedDecodeState:
-        cfg, B, S = self.t3cfg, self.B, self.S
-        H, D = cfg.num_kv_heads, cfg.head_dim
+        cfg, B = self.t3cfg, self.B
+        H, D2 = cfg.num_kv_heads, 2 * cfg.head_dim
         L = cfg.num_layers
 
         def pages():
-            return jnp.zeros((L, self.P, H, self.bs, D), self._kv_dtype())
+            return jnp.zeros((L, self.P, H, self.bs, D2), self._kv_dtype())
 
         def scales():
             return (jnp.zeros((L, self.P, H, self.bs), jnp.float32)
                     if self.quantized else None)
 
-        return PagedDecodeState(
+        state = PagedDecodeState(
             paged=PagedKV(pages(), pages(), scales(), scales(),
-                          jnp.zeros((S, self.NB), jnp.int32)),
-            lengths=jnp.zeros((S,), jnp.int32),
+                          jnp.zeros((B, self.NB), jnp.int32)),
+            lengths=jnp.zeros((B,), jnp.int32),
             speech_pos=jnp.ones((B,), jnp.int32),
             last_token=jnp.zeros((B,), jnp.int32),
             prev_tokens=jnp.full((B, 2), -1, jnp.int32),
@@ -263,6 +364,15 @@ class PagedContinuousEngine:
             out_tokens=jnp.zeros((B, self.max_out), jnp.int32),
             keys=make_keys(np.zeros((B,), np.int64)),
         )
+        if self.mesh is not None:
+            specs = _state_specs(self.quantized)
+            state = jax.tree.map(
+                lambda x, s: jax.device_put(
+                    x, NamedSharding(self.mesh, s)) if s is not None else x,
+                state, specs,
+                is_leaf=lambda x: x is None or not isinstance(
+                    x, (PagedDecodeState, PagedKV)))
+        return state
 
     # ------------------------------------------------------------------ #
     # jitted programs
@@ -299,22 +409,38 @@ class PagedContinuousEngine:
                     new_k, new_v, prefill_len, tok, seen_row, keys_row,
                     req_sampling, req_cfg_scale, req_max_new, req_text_len):
         """Scatter the prefilled pair's K/V into its reserved pages and
-        install per-slot state.  new_k/new_v: [L, 2, H, T, D]."""
-        row = 2 * slot
+        install per-slot state.  new_k/new_v: [L, 2, H, T, D]; pair_tables:
+        [1, NB] shard-local page ids."""
         paged = state.paged
-        # install the pair's block-table rows first so the scatter targets them
-        tables = jax.lax.dynamic_update_slice(paged.tables, pair_tables, (row, 0))
+        tables = jax.lax.dynamic_update_slice(paged.tables, pair_tables,
+                                              (slot, 0))
 
-        k_pages, v_pages, k_scales, v_scales = write_prefill_to_pages(
-            paged.k, paged.v, new_k, new_v, pair_tables,
-            block_size=self.bs,
-            k_scales=paged.k_scales, v_scales=paged.v_scales)
+        if self.mesh is None:
+            k_pages, v_pages, k_scales, v_scales = write_prefill_to_pages(
+                paged.k, paged.v, new_k, new_v, pair_tables,
+                block_size=self.bs,
+                k_scales=paged.k_scales, v_scales=paged.v_scales)
+        else:
+            from jax import shard_map
+            pool = P(None, "data", "model", None, None)
+            scl = P(None, "data", "model", None) if self.quantized else None
+            owner = slot // self.B_local
+            fn = functools.partial(_write_prefill_sharded, block_size=self.bs)
+            k_pages, v_pages, k_scales, v_scales = shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(pool, pool, scl, scl,
+                          P(None, None, "model", None, None),
+                          P(None, None, "model", None, None),
+                          P(None, None), P()),
+                out_specs=(pool, pool, scl, scl),
+                check_rep=False,
+            )(paged.k, paged.v, paged.k_scales, paged.v_scales,
+              new_k, new_v, pair_tables, owner)
 
         first_is_stop = tok[0] == self.t3cfg.stop_speech_token
-        lengths = jax.lax.dynamic_update_slice(state.lengths, prefill_len, (row,))
         state = state._replace(
             paged=PagedKV(k_pages, v_pages, k_scales, v_scales, tables),
-            lengths=lengths,
+            lengths=state.lengths.at[slot].set(prefill_len[0]),
             speech_pos=state.speech_pos.at[slot].set(1),
             last_token=state.last_token.at[slot].set(tok[0]),
             prev_tokens=state.prev_tokens.at[slot].set(
@@ -339,7 +465,7 @@ class PagedContinuousEngine:
                 text_len.at[slot].set(req_text_len[0]))
 
     def _decode_step(self, params, sampling, cfg_scale, max_new, text_len,
-                     state: PagedDecodeState, _, *, nb_active: int):
+                     state: PagedDecodeState, _):
         cfg = self.t3cfg
         tokens_s = jnp.repeat(state.last_token, 2)
         pos_s = jnp.repeat(state.speech_pos, 2)
@@ -347,8 +473,7 @@ class PagedContinuousEngine:
                                      self.compute_dtype)
         hidden, paged = paged_backbone_decode(
             params, cfg, embeds, state.paged, state.lengths, *self._rope,
-            block_size=self.bs, nb_active=nb_active,
-            interpret=self.interpret)
+            block_size=self.bs, interpret=self.interpret, mesh=self.mesh)
         logits = cfg_combine(
             speech_logits(params, hidden, cfg.speech_vocab_size),
             cfg_scale)
@@ -371,7 +496,7 @@ class PagedContinuousEngine:
         n_gen = state.n_generated + active.astype(jnp.int32)
         hit_stop = active & (tok == cfg.stop_speech_token)
         done = state.done | hit_stop | (n_gen >= max_new)
-        lengths = state.lengths + jnp.repeat(active, 2).astype(jnp.int32)
+        lengths = state.lengths + active.astype(jnp.int32)
         speech_pos = state.speech_pos + active.astype(jnp.int32)
         prev = jnp.where(active[:, None],
                          jnp.stack([state.prev_tokens[:, 1], state.last_token],
@@ -384,10 +509,9 @@ class PagedContinuousEngine:
             n_generated=n_gen, out_tokens=out, keys=keys), None
 
     def _decode_chunk_impl(self, params, state, sampling, cfg_scale, max_new,
-                           text_len, num_steps: int, nb_active: int):
+                           text_len, num_steps: int):
         step = functools.partial(self._decode_step, params, sampling,
-                                 cfg_scale, max_new, text_len,
-                                 nb_active=nb_active)
+                                 cfg_scale, max_new, text_len)
         state, _ = jax.lax.scan(step, state, None, length=num_steps)
         return state
 
@@ -402,14 +526,14 @@ class PagedContinuousEngine:
         return rid
 
     def reset(self) -> None:
-        """Drop all pending/active work, release every stream's pages, and
-        rebuild the device state (serving-layer failure recovery; VERDICT r3
-        weak #7)."""
+        """Drop all pending/active work, release every pair's pages, and
+        rebuild the device state (serving-layer failure recovery)."""
         self._pending.clear()
         self._active.clear()
         self._results.clear()
-        for row in range(self.S):
-            self.alloc.release(row)
+        for alloc in self.allocs:
+            for row in range(self.B_local):
+                alloc.release(row)
         self._state = self._empty_state()
         self._sampling = SamplingState.broadcast(self.B)
         self._cfg_scale = jnp.full((self.B,), 0.5, jnp.float32)
@@ -430,53 +554,52 @@ class PagedContinuousEngine:
             f"max_model_len={self.max_len}")
 
     def _reserve_for_chunk(self, lengths_host: np.ndarray, steps: int) -> bool:
-        """Ensure every active stream has pages for `steps` more tokens.
-        On pool exhaustion, preempt the youngest active request.  Returns True
-        if the tables changed (device copy needed)."""
+        """Ensure every active pair has pages for `steps` more tokens.
+        On pool exhaustion, preempt the youngest active request in the
+        exhausted shard.  Returns True if the tables changed."""
         changed = False
         while True:
-            ok = True
+            blocked_shard = None
             for slot in list(self._active):
-                need = -(-(int(lengths_host[2 * slot]) + steps) // self.bs)
+                need = -(-(int(lengths_host[slot]) + steps) // self.bs)
                 need = min(need, self.NB)
-                for row in (2 * slot, 2 * slot + 1):
-                    if self.alloc.seq_num_blocks(row) < need:
-                        if not self.alloc.reserve(row, need):
-                            ok = False
-                            break
-                        changed = True
-                if not ok:
-                    break
-            if ok:
+                alloc = self.allocs[self._shard_of(slot)]
+                row = self._local_row(slot)
+                if alloc.seq_num_blocks(row) < need:
+                    if not alloc.reserve(row, need):
+                        blocked_shard = self._shard_of(slot)
+                        break
+                    changed = True
+            if blocked_shard is None:
                 return changed
-            # preempt the youngest active request (vLLM recompute policy)
-            victim = max(self._active, key=lambda s: self._active[s][2])
+            # preempt the youngest active request in that shard (vLLM
+            # recompute policy)
+            candidates = [s for s in self._active
+                          if self._shard_of(s) == blocked_shard]
+            victim = max(candidates, key=lambda s: self._active[s][2])
             rid, req, _ = self._active.pop(victim)
-            for row in (2 * victim, 2 * victim + 1):
-                self.alloc.release(row)
+            self.allocs[blocked_shard].release(self._local_row(victim))
             self._pending.appendleft((rid, req))
             # mark slot done on device so it stops decoding
             self._state = self._state._replace(
                 done=self._state.done.at[victim].set(True))
             changed = True
 
-    # Burst-admission sub-batch sizes (one prefill dispatch per burst; the
-    # paged analog of ContinuousEngine.ADMIT_BUCKETS).
+    # Burst-admission sub-batch sizes (one prefill dispatch per burst).
     ADMIT_BUCKETS = (1, 2, 4, 8)
 
     def _reserve_slot(self, slot: int, req: T3Request):
-        """Reserve the pair's initial pages; returns the [2, NB] table rows
-        or None on pool exhaustion."""
+        """Reserve the pair's initial pages; returns the [1, NB] table row
+        (shard-local ids) or None on pool exhaustion."""
         Tt = self._bucket_len(len(req.text_ids))
         T = self.t3cfg.cond_seq_len + Tt + 1
         nb0 = -(-T // self.bs)
-        rows = (2 * slot, 2 * slot + 1)
-        for row in rows:
-            if not self.alloc.reserve(row, nb0):
-                for r in rows:
-                    self.alloc.release(r)
-                return None
-        return np.stack([np.maximum(self.alloc.table(r), 0) for r in rows])
+        alloc = self.allocs[self._shard_of(slot)]
+        row = self._local_row(slot)
+        if not alloc.reserve(row, nb0):
+            alloc.release(row)
+            return None
+        return np.maximum(alloc.table(row), 0)[None, :]
 
     def _admit_one(self, slot: int, rid: str, req: T3Request) -> bool:
         pair_tables = self._reserve_slot(slot, req)
@@ -535,11 +658,17 @@ class PagedContinuousEngine:
                 jnp.asarray([L], jnp.int32))
             self._active[slot] = (rid, req, time.time())
 
+    def _slot_order(self):
+        """Admission order: interleave data shards so concurrent requests
+        spread across sub-pools."""
+        return [g * self.B_local + r
+                for r in range(self.B_local) for g in range(self.n_shards)]
+
     def step(self) -> list[T3Result]:
         before = set(self._results)
         done_host = np.array(jax.device_get(self._state.done))
         batch = []
-        for slot in range(self.B):
+        for slot in self._slot_order():
             if not self._pending:
                 break
             if bool(done_host[slot]) and slot not in self._active:
@@ -562,19 +691,12 @@ class PagedContinuousEngine:
             steps = self.config.engine.decode_steps_per_dispatch
             lengths_host = np.asarray(jax.device_get(self._state.lengths))
             if self._reserve_for_chunk(lengths_host, steps):
-                tables = np.maximum(self.alloc.full_table(), 0)
+                tables = np.maximum(self._full_table(), 0)
                 self._state = self._set_tables(
                     self._state, jnp.asarray(tables))
-            # static page bound for the kernel grid, in 128-token steps
-            # (the paged analog of the dense cache_len bucket)
-            active_rows = [r for s in self._active for r in (2 * s, 2 * s + 1)]
-            bound = int(lengths_host[active_rows].max()) + steps + 1
-            bound = -(-bound // 128) * 128
-            nb_active = min(self.NB, -(-bound // self.bs))
             self._state = self._decode_chunk(
                 self.params, self._state, self._sampling, self._cfg_scale,
-                self._max_new, self._text_len, num_steps=steps,
-                nb_active=nb_active)
+                self._max_new, self._text_len, num_steps=steps)
             done_host = np.asarray(jax.device_get(self._state.done))
             n_gen = np.asarray(jax.device_get(self._state.n_generated))
             stopped = np.asarray(jax.device_get(self._state.stopped))
@@ -583,8 +705,8 @@ class PagedContinuousEngine:
                 out_host = np.asarray(jax.device_get(self._state.out_tokens))
                 for slot in finished:
                     rid, req, t0 = self._active.pop(slot)
-                    for row in (2 * slot, 2 * slot + 1):
-                        self.alloc.release(row)
+                    self.allocs[self._shard_of(slot)].release(
+                        self._local_row(slot))
                     n = int(n_gen[slot])
                     toks = out_host[slot, :n]
                     toks = toks[toks != self.t3cfg.stop_speech_token]

@@ -379,14 +379,10 @@ def make_engine(config: Config, params: dict, *, compute_dtype=jnp.bfloat16,
     if kind == "paged":
         from .paged import PagedContinuousEngine
 
-        if mesh is not None:
-            raise NotImplementedError(
-                "paged engine is single-device for now — serve multi-chip "
-                "with engine_kind='continuous' (dense slotted cache, "
-                "mesh-sharded)")
         return PagedContinuousEngine(config, params,
                                      compute_dtype=compute_dtype,
-                                     logit_processor=logit_processor)
+                                     logit_processor=logit_processor,
+                                     mesh=mesh)
     base = T3Engine(config, params, compute_dtype=compute_dtype, mesh=mesh,
                     logit_processor=logit_processor)
     if kind == "dense":

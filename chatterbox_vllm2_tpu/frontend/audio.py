@@ -85,6 +85,56 @@ def trim_silence(wav: np.ndarray, top_db: float = 20.0,
     return wav[start:end]
 
 
+def time_stretch(wav: np.ndarray, sr: int, speed: float) -> np.ndarray:
+    """WSOLA time stretch: change duration by 1/speed without changing pitch.
+
+    Implements the OpenAI-compat `speed` parameter natively (numpy) — the
+    reference accepts `speed` but silently ignores it (reference
+    `api_server.py:41`); ffmpeg's `atempo` is the same WSOLA family.
+    speed > 1 shortens (faster speech), < 1 lengthens.  Bounded [0.25, 4].
+    """
+    speed = float(np.clip(speed, 0.25, 4.0))
+    if abs(speed - 1.0) < 1e-3 or len(wav) == 0:
+        return wav
+    n = int(0.030 * sr)                      # 30 ms analysis frame
+    n -= n % 2
+    hop_out = n // 2                         # 50% overlap-add
+    tol = int(0.0075 * sr)                   # +-7.5 ms WSOLA search
+    hop_an = hop_out * speed
+    if len(wav) < n + 2 * tol + int(hop_an) + hop_out:
+        return wav                           # too short to stretch cleanly
+    win = np.hanning(n).astype(np.float32)
+
+    out_len = int(len(wav) / speed)
+    n_frames = max((out_len - n) // hop_out + 1, 1)
+    out = np.zeros(n_frames * hop_out + n, np.float32)
+    norm = np.zeros_like(out)
+
+    last = len(wav) - n                      # last valid analysis position
+    prev = 0                                 # chosen analysis pos of frame k-1
+    for k in range(n_frames):
+        p = min(max(int(round(k * hop_an)), 0), last)
+        if k == 0:
+            pos = 0
+        else:
+            # natural continuation of the previous frame
+            ref = wav[min(prev + hop_out, last):][:n]
+            lo = max(p - tol, 0)
+            hi = min(p + tol, last)
+            if hi <= lo or len(ref) < n:
+                pos = p
+            else:
+                # cross-correlate candidates with the continuation segment
+                seg = wav[lo: hi + n]
+                c = np.correlate(seg, ref, mode="valid")
+                pos = min(lo + int(np.argmax(c)), last)
+        out[k * hop_out: k * hop_out + n] += wav[pos: pos + n] * win
+        norm[k * hop_out: k * hop_out + n] += win
+        prev = pos
+    out /= np.maximum(norm, 1e-6)
+    return out[:out_len].astype(np.float32)
+
+
 _FFMPEG = shutil.which("ffmpeg")
 
 FORMAT_CONTENT_TYPES = {

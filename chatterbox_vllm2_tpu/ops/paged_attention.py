@@ -1,20 +1,35 @@
-"""Pallas paged attention for the T3 decode step.
+"""Pallas paged attention for the T3 decode step (pair-lane layout).
 
 TPU-native replacement for vLLM's CUDA `paged_attention_v1/v2` +
 `reshape_and_cache` kernels (consumed implicitly by the reference, SURVEY.md
-§2.2).  Pages live in HBM as [num_pages, heads, block_size, head_dim]; each
-stream reads its pages through a block table (scalar-prefetched so the DMA
-address is known before the kernel body runs) with flash-style online softmax
-across pages.
+§2.2).  Three structural choices distinguish this from a generic port:
 
-Block tables are produced by the native C++ allocator
-(`chatterbox_vllm2_tpu/native`).  Only the tokens below `lengths[s]` are
-attended; fully-invalid trailing pages are skipped by clamping the page index
-(no extra DMA) and predicating the compute with `pl.when`.
+  * **CFG pairs ride the lane dimension.**  Every request is a cond/uncond
+    stream pair with identical lengths, so a page stores both streams side by
+    side: `[H, block_size, 2*head_dim]` with lanes 0:D = cond K/V and D:2D =
+    uncond.  With head_dim 64 this makes every DMA a full 128-lane row (the
+    D=64-minor layout measured at a fraction of spec bandwidth,
+    BENCH_NOTES.md), halves the number of block tables/lengths to track, and
+    keeps the head axis contiguous for 'model'-axis sharding.
 
-Optionally the pages are INT8 with one scale per (page, head, token):
-quantize-on-append, dequantized inside this kernel (the INT8-KV design from
-BASELINE.md).
+  * **The stacked per-layer pool is one `pl.ANY` operand.**  Pallas operands
+    with blocked BlockSpecs must be materialized buffers, so the previous
+    kernel's per-layer `pool[l]` slices forced XLA to copy ~tens of MB per
+    layer per step.  Here the whole `[L*P, H, bs, 2D]` pool stays in HBM and
+    the kernel DMAs exactly the pages it needs (`layer` rides in as a scalar
+    so one Mosaic kernel serves all 30 layers).
+
+  * **One grid step per pair** with an inner length-adaptive page loop,
+    double-buffered manual DMA, and cross-step prefetch (the pipelining
+    pattern of jax.experimental's TPU paged-attention kernel).  At bench
+    shapes this is 16 grid steps per layer instead of the previous
+    (streams x pages) = 192, and trailing-page work vanishes entirely
+    because the loop bound is `ceil(length / bs)` per pair.
+
+Pages are optionally INT8 with one f32 scale per (page, head, token) row
+covering both streams' lanes (quantize-on-append; the INT8-KV design from
+BASELINE.md).  Block tables are produced by the native C++ allocator
+(`chatterbox_vllm2_tpu/native`), one row per CFG pair.
 """
 
 from __future__ import annotations
@@ -27,174 +42,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(
-    # scalar prefetch
-    tables_ref,     # [S, NB] int32 (SMEM)
-    lengths_ref,    # [S] int32 (SMEM)
-    # inputs
-    q_ref,          # [1, H, D]
-    k_page_ref,     # [1, H, bs, D] (kv dtype)
-    v_page_ref,     # [1, H, bs, D]
-    k_scale_ref,    # [1, H, bs] f32 or None
-    v_scale_ref,    # [1, H, bs] f32 or None
-    # output
-    o_ref,          # [1, H, D] f32
-    # scratch
-    m_ref,          # [H, 1] f32
-    l_ref,          # [H, 1] f32
-    acc_ref,        # [H, D] f32
-    *,
-    block_size: int,
-    scale: float,
-):
-    s = pl.program_id(0)
-    j = pl.program_id(1)
-    nb = pl.num_programs(1)
-    length = lengths_ref[s]
-
-    @pl.when(j == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, -1e30)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    @pl.when(j * block_size < length)
-    def _():
-        # bf16 MXU math (dots accumulate f32 via preferred_element_type);
-        # only the online-softmax state stays f32 — the round-3 kernel
-        # converted whole K/V pages to f32 on the VPU first (VERDICT r3
-        # weak #2)
-        # reshape to [H, 1, D] while f32 (Mosaic can't shape-cast bf16
-        # across ranks, nor lower a 2Dx3D batched dot), then cast: the dots
-        # run bf16 on the MXU with f32 accumulation
-        q = q_ref[0].astype(jnp.float32)[:, None, :].astype(jnp.bfloat16)
-        k = k_page_ref[0]                                   # [H, bs, D]
-        v = v_page_ref[0]
-        if k_scale_ref is not None:
-            k = k.astype(jnp.bfloat16) * k_scale_ref[0][:, :, None].astype(
-                jnp.bfloat16)
-            v = v.astype(jnp.bfloat16) * v_scale_ref[0][:, :, None].astype(
-                jnp.bfloat16)
-        # scores[h, b] = sum_d q[h, d] * k[h, b, d]
-        scores = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )[:, 0, :] * scale                                  # [H, bs] f32
-        valid = (jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-                 + j * block_size) < length
-        scores = jnp.where(valid, scores, -1e30)
-
-        m_prev, l_prev = m_ref[:], l_ref[:]
-        m_cur = jnp.max(scores, axis=-1, keepdims=True)     # [H, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new)                          # [H, bs]
-        l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[:] = m_new
-        # acc[h, d] = alpha * acc + sum_b p[h, b] * v[h, b, d]
-        pv = jax.lax.dot_general(
-            p[:, None, :].astype(jnp.bfloat16), v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )[:, 0, :]                                           # [H, D]
-        acc_ref[:] = acc_ref[:] * alpha + pv
-
-    @pl.when(j == nb - 1)
-    def _():
-        o_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
-
-
-def _page_index(tables_ref, lengths_ref, s, j, block_size):
-    """Page to fetch for (stream s, logical block j); clamped to the last
-    valid block so skipped grid steps re-use the resident page (no DMA)."""
-    last = jnp.maximum(lengths_ref[s] - 1, 0) // block_size
-    return tables_ref[s, jnp.minimum(j, last)]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_size", "sm_scale", "interpret"),
-)
-def paged_attention_decode(
-    q: jnp.ndarray,            # [S, H, D] — post-RoPE query of the new token
-    k_pages: jnp.ndarray,      # [P, H, bs, D]
-    v_pages: jnp.ndarray,      # [P, H, bs, D]
-    block_tables: jnp.ndarray, # [S, NB] int32
-    lengths: jnp.ndarray,      # [S] int32 (valid tokens incl. the new one)
-    *,
-    block_size: int,
-    sm_scale: float,
-    k_scales: jnp.ndarray | None = None,   # [P, H, bs] f32 for INT8 pages
-    v_scales: jnp.ndarray | None = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Returns [S, H, D] f32 attention output."""
-    S, H, D = q.shape
-    NB = block_tables.shape[1]
-    # NOTE: with PrefetchScalarGridSpec the index_map receives the
-    # grid indices first, then the scalar-prefetch refs: (s, j, tables, lengths).
-    idx = functools.partial(_page_index, block_size=block_size)
-
-    in_specs = [
-        pl.BlockSpec((1, H, D), lambda s, j, t, l: (s, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, block_size, D),
-                     lambda s, j, t, l: (idx(t, l, s, j), 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, block_size, D),
-                     lambda s, j, t, l: (idx(t, l, s, j), 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = [q, k_pages, v_pages]
-    quantized = k_scales is not None
-    if quantized:
-        in_specs += [
-            pl.BlockSpec((1, H, block_size),
-                         lambda s, j, t, l: (idx(t, l, s, j), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, block_size),
-                         lambda s, j, t, l: (idx(t, l, s, j), 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        args += [k_scales, v_scales]
-        kernel = functools.partial(
-            _attn_kernel, block_size=block_size, scale=sm_scale)
-    else:
-        def kernel(tables_ref, lengths_ref, q_ref, k_ref, v_ref, o_ref,
-                   m_ref, l_ref, acc_ref):
-            _attn_kernel(tables_ref, lengths_ref, q_ref, k_ref, v_ref,
-                         None, None, o_ref, m_ref, l_ref, acc_ref,
-                         block_size=block_size, scale=sm_scale)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(S, NB),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, H, D), lambda s, j, t, l: (s, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((H, 1), jnp.float32),
-            pltpu.VMEM((H, 1), jnp.float32),
-            pltpu.VMEM((H, D), jnp.float32),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((S, H, D), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(block_tables, lengths, *args)
-
-
 # --------------------------------------------------------------------------- #
-# Cache maintenance (the analog of vLLM's reshape_and_cache)
+# Pair-lane packing helpers
 # --------------------------------------------------------------------------- #
 
 
-def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric int8 per-(token, head) quantization of K/V rows.
-    x [..., D] -> (int8 [..., D], scales [...])."""
+def pack_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """[S=2B, ..., H, D] (rows 2b = cond, 2b+1 = uncond) -> [B, ..., H, 2D]."""
+    S = x.shape[0]
+    H, D = x.shape[-2], x.shape[-1]
+    mid = x.shape[1:-2]
+    x = x.reshape((S // 2, 2) + mid + (H, D))
+    x = jnp.moveaxis(x, 1, -2)                       # [B, ..., H, 2, D]
+    return x.reshape((S // 2,) + mid + (H, 2 * D))
+
+
+def unpack_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, ..., H, 2D] -> [S=2B, ..., H, D]."""
+    B = x.shape[0]
+    H, D2 = x.shape[-2], x.shape[-1]
+    mid = x.shape[1:-2]
+    x = x.reshape((B,) + mid + (H, 2, D2 // 2))
+    x = jnp.moveaxis(x, -2, 1)                       # [B, 2, ..., H, D]
+    return x.reshape((2 * B,) + mid + (H, D2 // 2))
+
+
+def quantize_pair_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 per-row quantization over the packed 2D lane axis.
+    x [..., 2D] -> (int8 [..., 2D], scales [...] f32).  One scale covers both
+    streams' lanes of a (head, token) row — the cond/uncond K/V magnitudes at
+    the same (layer, head, position) are near-identical, and a full 128-lane
+    row is what the kernel dequantizes in one VPU op."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
     scl = jnp.maximum(amax, 1e-8) / 127.0
@@ -202,92 +80,346 @@ def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scl
 
 
-def append_to_pages(
-    k_pages: jnp.ndarray,       # [P, H, bs, D]
-    v_pages: jnp.ndarray,
-    k_new: jnp.ndarray,         # [S, H, D]
-    v_new: jnp.ndarray,
-    block_tables: jnp.ndarray,  # [S, NB]
-    positions: jnp.ndarray,     # [S] int32 — token index being written
+# --------------------------------------------------------------------------- #
+# The kernel
+# --------------------------------------------------------------------------- #
+
+
+def _attn_kernel(
+    # scalar prefetch (SMEM)
+    lengths_ref,    # [B] int32 — valid tokens per pair (incl. appended token)
+    tables_ref,     # [B*NB] int32 — flattened block tables (per-layer page ids)
+    layer_ref,      # [1] int32
+    buf_ref,        # [1] int32 — double-buffer slot (mutable scalar state)
+    init_ref,       # [1] int32 — 1 until the first prefetch has been issued
+    # inputs
+    q_ref,          # [1, H, 2D] bf16 (VMEM block at pair b)
+    k_hbm,          # [L*P, H, bs, 2D] (ANY)
+    v_hbm,          # [L*P, H, bs, 2D] (ANY)
+    k_scl_hbm,      # [L*P, H, bs] f32 (ANY) or None
+    v_scl_hbm,
+    # output
+    o_ref,          # [1, H, 2D] f32
+    # scratch
+    k_buf,          # [2, H, bs, 2D] kv dtype
+    v_buf,
+    ks_buf,         # [2, H, bs] f32 or None
+    vs_buf,
+    sems,           # DMA sems [2, 2] (slot, k/v)
+    m0, l0, m1, l1,  # [H, 1] f32 online-softmax state (cond / uncond)
+    acc,            # [H, 2D] f32
     *,
     block_size: int,
-    k_scales: jnp.ndarray | None = None,   # [P, H, bs]
+    pages_per_layer: int,
+    blocks_per_pair: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    bs = block_size
+    H, D2 = acc.shape
+    D = D2 // 2
+    length = lengths_ref[b]
+    npages = pl.cdiv(length, bs)
+    quantized = ks_buf is not None
+
+    def copies(bb, i, slot):
+        fp = layer_ref[0] * pages_per_layer + tables_ref[bb * blocks_per_pair + i]
+        out = [
+            pltpu.make_async_copy(k_hbm.at[fp], k_buf.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[fp], v_buf.at[slot],
+                                  sems.at[slot, 1]),
+        ]
+        if quantized:
+            out += [
+                pltpu.make_async_copy(k_scl_hbm.at[fp], ks_buf.at[slot],
+                                      sems.at[slot, 0]),
+                pltpu.make_async_copy(v_scl_hbm.at[fp], vs_buf.at[slot],
+                                      sems.at[slot, 1]),
+            ]
+        return out
+
+    def start(bb, i, slot):
+        for c in copies(bb, i, slot):
+            c.start()
+
+    def wait(slot):
+        # source index is irrelevant to wait (byte counts only)
+        for c in copies(0, 0, slot):
+            c.wait()
+
+    def first_active(s):
+        """Smallest pair index >= s with a nonzero length, else B."""
+        return jax.lax.fori_loop(
+            0, B,
+            lambda _, cur: jnp.where(
+                (cur < B) & (lengths_ref[jnp.minimum(cur, B - 1)] == 0),
+                cur + 1, cur),
+            s)
+
+    @pl.when(npages == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when(npages > 0)
+    def _():
+        m0[...] = jnp.full_like(m0, -1e30)
+        m1[...] = jnp.full_like(m1, -1e30)
+        l0[...] = jnp.zeros_like(l0)
+        l1[...] = jnp.zeros_like(l1)
+        acc[...] = jnp.zeros_like(acc)
+
+        @pl.when(init_ref[0] == 1)
+        def _():
+            start(b, 0, buf_ref[0])
+            init_ref[0] = 0
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (H, D2), 1)
+        q = q_ref[0]
+        q0 = jnp.where(lane < D, q, jnp.zeros_like(q))      # cond lanes
+        q1 = jnp.where(lane >= D, q, jnp.zeros_like(q))     # uncond lanes
+
+        def rank3(x):
+            # Mosaic can't shape-cast bf16 across ranks; hop through f32
+            return x.astype(jnp.float32)[:, None, :].astype(jnp.bfloat16)
+
+        def body(i, _):
+            slot = buf_ref[0]
+            nb_, ni_ = jax.lax.cond(
+                i + 1 < npages, lambda: (b, i + 1),
+                lambda: (first_active(b + 1), 0))
+
+            @pl.when(nb_ < B)
+            def _():
+                start(nb_, ni_, 1 - slot)
+                buf_ref[0] = 1 - slot
+
+            wait(slot)
+            k = k_buf[slot]
+            v = v_buf[slot]
+            if quantized:
+                k = k.astype(jnp.bfloat16) * ks_buf[slot][..., None].astype(
+                    jnp.bfloat16)
+                v = v.astype(jnp.bfloat16) * vs_buf[slot][..., None].astype(
+                    jnp.bfloat16)
+
+            # scores[h, t] = sum_d q[h, d] * k[h, t, d], per CFG half: the
+            # other half's lanes are zeroed in q so they contribute nothing
+            def scores(qh):
+                s = jax.lax.dot_general(
+                    rank3(qh), k,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )[:, 0, :] * scale                           # [H, bs]
+                valid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                         + i * bs) < length
+                return jnp.where(valid, s, -1e30)
+
+            def online(s, m_ref_, l_ref_):
+                m_prev, l_prev = m_ref_[...], l_ref_[...]
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+                l_ref_[...] = l_prev * alpha + jnp.sum(p, axis=-1,
+                                                       keepdims=True)
+                m_ref_[...] = m_new
+                return p, alpha
+
+            p0, a0 = online(scores(q0), m0, l0)
+            p1, a1 = online(scores(q1), m1, l1)
+
+            # pv[h, d] = sum_t p[h, t] * v[h, t, d]; lanes of the other half
+            # are wrong (other stream's V times this half's p) and dropped by
+            # the lane select below
+            def pv(p):
+                return jax.lax.dot_general(
+                    rank3(p), v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )[:, 0, :]                                   # [H, 2D]
+
+            alpha_full = jnp.where(lane < D, a0, a1)
+            acc[...] = acc[...] * alpha_full + jnp.where(lane < D, pv(p0),
+                                                         pv(p1))
+            return 0
+
+        jax.lax.fori_loop(0, npages, body, 0)
+        l_full = jnp.where(lane < D, l0[...], l1[...])
+        o_ref[0] = acc[...] / jnp.maximum(l_full, 1e-30)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "sm_scale", "interpret"),
+)
+def paged_attention_pairs(
+    q: jnp.ndarray,            # [B, H, 2D] — packed post-RoPE pair queries
+    k_pages: jnp.ndarray,      # [L, P, H, bs, 2D]
+    v_pages: jnp.ndarray,
+    block_tables: jnp.ndarray, # [B, NB] int32
+    lengths: jnp.ndarray,      # [B] int32 (valid tokens incl. the new one)
+    layer,                     # int32 scalar (or python int)
+    *,
+    block_size: int,
+    sm_scale: float,
+    k_scales: jnp.ndarray | None = None,   # [L, P, H, bs] f32 for INT8 pages
+    v_scales: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, H, 2D] f32 packed attention output for one layer."""
+    B, H, D2 = q.shape
+    L, P = k_pages.shape[:2]
+    NB = block_tables.shape[1]
+    quantized = k_scales is not None
+
+    flat = lambda a: a.reshape((L * P,) + a.shape[2:])
+    kv_dtype = k_pages.dtype
+
+    kernel = functools.partial(
+        _attn_kernel if quantized else _dense_wrap,
+        block_size=block_size, pages_per_layer=P, blocks_per_pair=NB,
+        scale=sm_scale)
+
+    in_specs = [
+        pl.BlockSpec((1, H, D2), lambda b, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [q.astype(jnp.bfloat16), flat(k_pages), flat(v_pages)]
+    scratch = [
+        pltpu.VMEM((2, H, block_size, D2), kv_dtype),
+        pltpu.VMEM((2, H, block_size, D2), kv_dtype),
+    ]
+    if quantized:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY)]
+        args += [flat(k_scales), flat(v_scales)]
+        scratch += [pltpu.VMEM((2, H, block_size), jnp.float32),
+                    pltpu.VMEM((2, H, block_size), jnp.float32)]
+    scratch += [
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((H, 1), jnp.float32),   # m0
+        pltpu.VMEM((H, 1), jnp.float32),   # l0
+        pltpu.VMEM((H, 1), jnp.float32),   # m1
+        pltpu.VMEM((H, 1), jnp.float32),   # l1
+        pltpu.VMEM((H, D2), jnp.float32),  # acc
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, H, D2), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, D2), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(lengths, block_tables.reshape(-1),
+      jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32), *args)
+
+
+def _dense_wrap(lengths_ref, tables_ref, layer_ref, buf_ref, init_ref,
+                q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sems,
+                m0, l0, m1, l1, acc, **kw):
+    """Adapter: unquantized kernel without the scale operands/scratch."""
+    _attn_kernel(lengths_ref, tables_ref, layer_ref, buf_ref, init_ref,
+                 q_ref, k_hbm, v_hbm, None, None, o_ref,
+                 k_buf, v_buf, None, None, sems, m0, l0, m1, l1, acc, **kw)
+
+
+# --------------------------------------------------------------------------- #
+# Cache maintenance (the analog of vLLM's reshape_and_cache)
+# --------------------------------------------------------------------------- #
+
+
+def append_layer_to_pages(
+    k_pages: jnp.ndarray,       # [L, P, H, bs, 2D]
+    v_pages: jnp.ndarray,
+    k_new: jnp.ndarray,         # [S=2B, H, D] — this layer's new-token K
+    v_new: jnp.ndarray,
+    layer: int,
+    block_tables: jnp.ndarray,  # [B, NB]
+    positions: jnp.ndarray,     # [B] int32 — token index being written
+    *,
+    block_size: int,
+    k_scales: jnp.ndarray | None = None,   # [L, P, H, bs]
     v_scales: jnp.ndarray | None = None,
 ):
-    """Scatter one new token's K/V per stream into its page.  With scale
-    buffers present the pages are INT8: quantize per (token, head) on append."""
-    S = k_new.shape[0]
-    page = block_tables[jnp.arange(S), positions // block_size]   # [S]
-    off = positions % block_size                                  # [S]
-
-    def quant(x):   # [S, H, D] -> int8 values, [S, H] scales
-        amax = jnp.max(jnp.abs(x), axis=-1)
-        scl = jnp.maximum(amax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(x / scl[..., None]), -127, 127).astype(jnp.int8)
-        return q, scl
+    """Scatter one new token's packed pair K/V into its page (in place on the
+    donated pool).  With scale buffers present the pages are INT8."""
+    B = positions.shape[0]
+    page = block_tables[jnp.arange(B), positions // block_size]   # [B]
+    off = positions % block_size
+    kp = pack_pairs(k_new)                                        # [B, H, 2D]
+    vp = pack_pairs(v_new)
 
     if k_scales is not None:
-        k_q, k_s = quant(k_new.astype(jnp.float32))
-        v_q, v_s = quant(v_new.astype(jnp.float32))
-        k_pages = k_pages.at[page, :, off, :].set(k_q)
-        v_pages = v_pages.at[page, :, off, :].set(v_q)
-        k_scales = k_scales.at[page, :, off].set(k_s)
-        v_scales = v_scales.at[page, :, off].set(v_s)
+        k_q, k_s = quantize_pair_rows(kp)
+        v_q, v_s = quantize_pair_rows(vp)
+        k_pages = k_pages.at[layer, page, :, off, :].set(k_q)
+        v_pages = v_pages.at[layer, page, :, off, :].set(v_q)
+        k_scales = k_scales.at[layer, page, :, off].set(k_s)
+        v_scales = v_scales.at[layer, page, :, off].set(v_s)
         return k_pages, v_pages, k_scales, v_scales
 
-    k_pages = k_pages.at[page, :, off, :].set(k_new.astype(k_pages.dtype))
-    v_pages = v_pages.at[page, :, off, :].set(v_new.astype(v_pages.dtype))
+    k_pages = k_pages.at[layer, page, :, off, :].set(kp.astype(k_pages.dtype))
+    v_pages = v_pages.at[layer, page, :, off, :].set(vp.astype(v_pages.dtype))
     return k_pages, v_pages, None, None
 
 
 def write_prefill_to_pages(
-    k_pages: jnp.ndarray,       # [P, H, bs, D]  or stacked [L, P, H, bs, D]
+    k_pages: jnp.ndarray,       # [L, P, H, bs, 2D]
     v_pages: jnp.ndarray,
-    k_full: jnp.ndarray,        # [S, T, H, D]   or stacked [L, S, H, T, D]
+    k_full: jnp.ndarray,        # [L, 2n, H, T, D] — prefilled pairs' K
     v_full: jnp.ndarray,
-    block_tables: jnp.ndarray,  # [S, NB]
+    pair_tables: jnp.ndarray,   # [n, NB]
     *,
     block_size: int,
-    k_scales: jnp.ndarray | None = None,   # [(L,) P, H, bs]
+    k_scales: jnp.ndarray | None = None,
     v_scales: jnp.ndarray | None = None,
 ):
-    """Scatter a whole prefill block into pages (padding tokens land in the
-    reserved pages and are masked by `lengths` at read time).
-
-    The stacked form writes every layer's K/V in one scatter — the page ids
-    are layer-invariant, so the layer axis rides along as a leading full
-    slice (this is how the paged engine admits a prefilled CFG pair).
-    """
-    stacked = k_full.ndim == 5
-    if stacked:
-        L, S, H, T, D = k_full.shape
-    else:
-        S, T, H, D = k_full.shape
-    nb = -(-T // block_size)
-    pad = nb * block_size - T
-    pages = block_tables[:, :nb].reshape(-1)                 # [S*nb]
+    """Scatter whole prefilled pairs into pages in one update (padding tokens
+    land in the reserved pages and are masked by `lengths` at read time).
+    Page ids are layer-invariant, so the layer axis rides along whole."""
+    L, S2, H, T, D = k_full.shape
+    n = S2 // 2
+    bs = block_size
+    nb = -(-T // bs)
+    pad = nb * bs - T
+    pages = pair_tables[:, :nb].reshape(-1)                  # [n*nb]
 
     def to_blocks(x):
-        # -> [(L,) S*nb, H, bs, D]
-        if stacked:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
-            x = x.reshape(L, S, H, nb, block_size, D).transpose(0, 1, 3, 2, 4, 5)
-            return x.reshape(L, S * nb, H, block_size, D)
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        x = x.reshape(S, nb, block_size, H, D).transpose(0, 1, 3, 2, 4)
-        return x.reshape(S * nb, H, block_size, D)
+        # [L, 2n, H, T, D] -> [L, n*nb, H, bs, 2D]
+        x = x.reshape(L, n, 2, H, T, D)
+        x = jnp.moveaxis(x, 2, -2)                           # [L,n,H,T,2,D]
+        x = x.reshape(L, n, H, T, 2 * D)
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, pad), (0, 0)))
+        x = x.reshape(L, n, H, nb, bs, 2 * D)
+        x = x.transpose(0, 1, 3, 2, 4, 5)                    # [L,n,nb,H,bs,2D]
+        return x.reshape(L, n * nb, H, bs, 2 * D)
 
     kb, vb = to_blocks(k_full), to_blocks(v_full)
-    idx = (slice(None), pages) if stacked else (pages,)
+    # mode="drop": out-of-range page ids are discarded, which lets a mesh
+    # shard skip writes for pairs it does not own (engine/paged.py)
     if k_scales is not None:
-        k_q, k_s = quantize_kv(kb)
-        v_q, v_s = quantize_kv(vb)
-        k_pages = k_pages.at[idx].set(k_q)
-        v_pages = v_pages.at[idx].set(v_q)
-        k_scales = k_scales.at[idx].set(k_s)
-        v_scales = v_scales.at[idx].set(v_s)
+        k_q, k_s = quantize_pair_rows(kb)
+        v_q, v_s = quantize_pair_rows(vb)
+        k_pages = k_pages.at[:, pages].set(k_q, mode="drop")
+        v_pages = v_pages.at[:, pages].set(v_q, mode="drop")
+        k_scales = k_scales.at[:, pages].set(k_s, mode="drop")
+        v_scales = v_scales.at[:, pages].set(v_s, mode="drop")
         return k_pages, v_pages, k_scales, v_scales
 
-    k_pages = k_pages.at[idx].set(kb.astype(k_pages.dtype))
-    v_pages = v_pages.at[idx].set(vb.astype(v_pages.dtype))
+    k_pages = k_pages.at[:, pages].set(kb.astype(k_pages.dtype), mode="drop")
+    v_pages = v_pages.at[:, pages].set(vb.astype(v_pages.dtype), mode="drop")
     return k_pages, v_pages, None, None

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..config import SamplingConfig
 from ..engine import T3Request
-from ..frontend.audio import encode_audio
+from ..frontend.audio import encode_audio, time_stretch
 from ..frontend.text import detect_language, punc_norm
 from .schema import TTSRequest
 
@@ -291,6 +291,10 @@ class TTSService:
             try:
                 if wav is None:
                     wav = np.zeros(0, np.float32)
+                if abs(j.request.speed - 1.0) > 1e-3:
+                    # OpenAI-compat speed: WSOLA time stretch (the reference
+                    # accepts `speed` but ignores it, api_server.py:41)
+                    wav = time_stretch(wav, model.SR, j.request.speed)
                 j.audio, j.media_type = encode_audio(
                     wav, model.SR, j.request.response_format)
                 j.metrics = {

@@ -210,3 +210,19 @@ def test_language_resolution(service):
     assert service.resolve_language(r) == "en"
     r = parse_tts_request({"input": "hello world"})
     assert service.resolve_language(r) == "en"
+
+
+def test_speed_changes_duration(server):
+    """OpenAI-compat `speed`: speed=2 halves output duration (WSOLA time
+    stretch; the reference accepts the field but ignores it,
+    reference api_server.py:41)."""
+    body = {"input": "hello there.", "response_format": "pcm",
+            "max_tokens": 48, "diffusion_steps": 2, "temperature": 0.0}
+    status, _, normal = _req(server, "POST", "/v1/audio/speech", body)
+    assert status == 200
+    status, _, fast = _req(server, "POST", "/v1/audio/speech",
+                           {**body, "speed": 2.0})
+    assert status == 200
+    assert len(normal) > 0
+    ratio = len(fast) / len(normal)
+    assert 0.4 < ratio < 0.62, f"speed=2 should halve duration, ratio={ratio}"

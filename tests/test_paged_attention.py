@@ -2,7 +2,9 @@
 
 Kernel results are checked against a plain masked-softmax dense reference —
 the same strategy SURVEY.md §4 prescribes (Pallas kernels vs reference-dtype
-einsums in interpreter mode).
+einsums in interpreter mode).  The kernel is pair-native: pages store both
+CFG streams in their 128-lane rows and one block-table row serves a pair
+(`ops/paged_attention.py`).
 """
 
 import numpy as np
@@ -16,102 +18,128 @@ from chatterbox_vllm2_tpu.native import (
     make_block_allocator,
 )
 from chatterbox_vllm2_tpu.ops.paged_attention import (
-    append_to_pages,
-    paged_attention_decode,
+    append_layer_to_pages,
+    pack_pairs,
+    paged_attention_pairs,
+    unpack_pairs,
     write_prefill_to_pages,
 )
 
-S, H, D, BS, NB = 4, 4, 32, 8, 6   # streams, heads, head_dim, block, blocks/seq
-P = S * NB + 2                     # pages
+B, H, D, BS, NB = 3, 4, 32, 8, 6   # pairs, heads, head_dim, block, blocks/pair
+S = 2 * B                          # device streams
+L = 2                              # stacked layers (kernel reads layer 1)
+P = B * NB + 2                     # pages per layer
+LAYER = 1
 
 
-def dense_reference(q, k, v, lengths, scale):
-    """q [S,H,D]; k/v [S,T,H,D]; masked softmax attention."""
-    scores = np.einsum("shd,sthd->sht", q, k) * scale
-    T = k.shape[1]
+def dense_reference(q, k, v, lengths_pair, scale):
+    """q [S,H,D]; k/v [S,H,T,D]; masked softmax attention (lengths per pair)."""
+    scores = np.einsum("shd,shtd->sht", q, k) * scale
+    T = k.shape[2]
+    lengths = np.repeat(lengths_pair, 2)
     mask = np.arange(T)[None, None, :] < lengths[:, None, None]
     scores = np.where(mask, scores, -1e30)
     p = np.exp(scores - scores.max(-1, keepdims=True))
     p /= p.sum(-1, keepdims=True)
-    return np.einsum("sht,sthd->shd", p, v)
+    out = np.einsum("sht,shtd->shd", p, v)
+    out[lengths == 0] = 0.0
+    return out
 
 
 @pytest.fixture(scope="module")
 def problem():
     rng = np.random.RandomState(0)
-    lengths = np.asarray([5, BS * 3, BS * NB, 17], np.int32)
+    lengths = np.asarray([5, BS * 3, BS * NB], np.int32)      # per pair
     T = BS * NB
     q = rng.randn(S, H, D).astype(np.float32)
-    k = rng.randn(S, T, H, D).astype(np.float32)
-    v = rng.randn(S, T, H, D).astype(np.float32)
+    k = rng.randn(L, S, H, T, D).astype(np.float32)
+    v = rng.randn(L, S, H, T, D).astype(np.float32)
     return q, k, v, lengths
 
 
-def _build_pages(k, v, lengths, dtype=jnp.float32, quantized=False):
-    alloc = make_block_allocator(P, S, NB)
+def _build_pages(k, v, quantized=False):
+    alloc = make_block_allocator(P, B, NB)
     # prefill writes the whole padded bucket, so reserve by bucket length
     # (padding tokens are masked by `lengths` at read time)
-    nb_full = -(-k.shape[1] // BS)
-    for s in range(S):
-        assert alloc.reserve(s, nb_full)
+    nb_full = -(-k.shape[3] // BS)
+    for b in range(B):
+        assert alloc.reserve(b, nb_full)
     tables = np.maximum(alloc.full_table(), 0)
-    kp = jnp.zeros((P, H, BS, D), jnp.int8 if quantized else dtype)
+    kp = jnp.zeros((L, P, H, BS, 2 * D), jnp.int8 if quantized else jnp.float32)
     vp = jnp.zeros_like(kp)
-    ks = jnp.zeros((P, H, BS), jnp.float32) if quantized else None
-    vs = jnp.zeros((P, H, BS), jnp.float32) if quantized else None
+    ks = jnp.zeros((L, P, H, BS), jnp.float32) if quantized else None
+    vs = jnp.zeros((L, P, H, BS), jnp.float32) if quantized else None
     kp, vp, ks, vs = write_prefill_to_pages(
         kp, vp, jnp.asarray(k), jnp.asarray(v), jnp.asarray(tables),
         block_size=BS, k_scales=ks, v_scales=vs)
     return kp, vp, ks, vs, jnp.asarray(tables), alloc
 
 
+def _run(q, kp, vp, tables, lengths, **kw):
+    out = paged_attention_pairs(
+        pack_pairs(jnp.asarray(q)), kp, vp, tables,
+        jnp.asarray(lengths, jnp.int32), LAYER,
+        block_size=BS, sm_scale=D ** -0.5, interpret=True, **kw)
+    return np.asarray(unpack_pairs(out))
+
+
 def test_paged_attention_matches_dense(problem):
     q, k, v, lengths = problem
-    kp, vp, _, _, tables, _ = _build_pages(k, v, lengths)
-    out = paged_attention_decode(
-        jnp.asarray(q), kp, vp, tables, jnp.asarray(lengths),
-        block_size=BS, sm_scale=D ** -0.5, interpret=True)
-    ref = dense_reference(q, k, v, lengths, D ** -0.5)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=5e-3)  # bf16 in-kernel math
+    kp, vp, _, _, tables, _ = _build_pages(k, v)
+    out = _run(q, kp, vp, tables, lengths)
+    ref = dense_reference(q, k[LAYER], v[LAYER], lengths, D ** -0.5)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=5e-3)  # bf16 math
+
+
+def test_zero_length_pair_outputs_zero(problem):
+    q, k, v, lengths = problem
+    kp, vp, _, _, tables, _ = _build_pages(k, v)
+    lengths = lengths.copy()
+    lengths[1] = 0
+    out = _run(q, kp, vp, tables, lengths)
+    assert np.abs(out[2:4]).max() == 0
+    ref = dense_reference(q, k[LAYER], v[LAYER], lengths, D ** -0.5)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=5e-3)
 
 
 def test_paged_attention_int8_close_to_dense(problem):
     q, k, v, lengths = problem
-    kp, vp, ks, vs, tables, _ = _build_pages(k, v, lengths, quantized=True)
-    out = paged_attention_decode(
-        jnp.asarray(q), kp, vp, tables, jnp.asarray(lengths),
-        block_size=BS, sm_scale=D ** -0.5, k_scales=ks, v_scales=vs,
-        interpret=True)
-    ref = dense_reference(q, k, v, lengths, D ** -0.5)
-    # int8 per-(token, head) quantization: ~1% tolerance
-    err = np.abs(np.asarray(out) - ref).max() / (np.abs(ref).max() + 1e-9)
+    kp, vp, ks, vs, tables, _ = _build_pages(k, v, quantized=True)
+    out = _run(q, kp, vp, tables, lengths, k_scales=ks, v_scales=vs)
+    ref = dense_reference(q, k[LAYER], v[LAYER], lengths, D ** -0.5)
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 0.03, f"int8 relative error {err}"
 
 
 def test_append_then_attend(problem):
-    """Decode path: append one new token per stream, attend, compare."""
+    """Decode path: append one new token per pair, attend, compare."""
     q, k, v, lengths = problem
-    kp, vp, _, _, tables, _ = _build_pages(k, v, lengths)
+    kp, vp, _, _, tables, _ = _build_pages(k, v)
     rng = np.random.RandomState(1)
-    k_new = rng.randn(S, H, D).astype(np.float32)
-    v_new = rng.randn(S, H, D).astype(np.float32)
-    # append at position lengths[s] (the next free slot); stream 2 is full, so
-    # cap its length one below the page capacity for this test
+    k_new = rng.randn(L, S, H, D).astype(np.float32)
+    v_new = rng.randn(L, S, H, D).astype(np.float32)
+    # append at position lengths[b]; pair 2 is full, so cap one below capacity
     lengths = np.minimum(lengths, BS * NB - 1)
-    kp, vp, _, _ = append_to_pages(
-        kp, vp, jnp.asarray(k_new), jnp.asarray(v_new), tables,
-        jnp.asarray(lengths, jnp.int32), block_size=BS)
+    for l in range(L):
+        kp, vp, _, _ = append_layer_to_pages(
+            kp, vp, jnp.asarray(k_new[l]), jnp.asarray(v_new[l]), l, tables,
+            jnp.asarray(lengths, jnp.int32), block_size=BS)
     new_len = lengths + 1
-    out = paged_attention_decode(
-        jnp.asarray(q), kp, vp, tables, jnp.asarray(new_len, jnp.int32),
-        block_size=BS, sm_scale=D ** -0.5, interpret=True)
+    out = _run(q, kp, vp, tables, new_len)
 
-    k_ref, v_ref = k.copy(), v.copy()
+    k_ref, v_ref = k[LAYER].copy(), v[LAYER].copy()
     for s in range(S):
-        k_ref[s, lengths[s]] = k_new[s]
-        v_ref[s, lengths[s]] = v_new[s]
+        k_ref[s, :, lengths[s // 2], :] = k_new[LAYER, s]
+        v_ref[s, :, lengths[s // 2], :] = v_new[LAYER, s]
     ref = dense_reference(q, k_ref, v_ref, new_len, D ** -0.5)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=5e-3)  # bf16 in-kernel math
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=5e-3)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(S, H, D).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(unpack_pairs(pack_pairs(x))),
+                                  np.asarray(x))
 
 
 # --------------------------------------------------------------------------- #

@@ -82,10 +82,60 @@ def test_preemption_on_pool_exhaustion(setup):
     cfg, params = setup
     nb = -(-64 // 8)
     # pool: enough for one pair's worst case + a bit, not for two pairs
+    # (pages are pair-level: one table row per request)
     paged = PagedContinuousEngine(cfg, params, compute_dtype=jnp.float32,
-                                  num_pages=2 * nb + 4)
+                                  num_pages=nb + 4)
     results = paged.run(_requests(cfg.t3, 3), timeout_s=300)
     assert len(results) == 3
     for r in results:
         assert len(r.tokens) > 0 or r.finished_by_stop
-    assert paged.alloc.num_free == 2 * nb + 4     # everything released
+    assert paged.allocs[0].num_free == nb + 4     # everything released
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4), (2, 1)])
+def test_sharded_paged_matches_unsharded(setup, mesh_shape):
+    """Mesh-sharded paged engine (pairs over 'data' with per-shard sub-pools,
+    heads over 'model' through the shard_map kernel island) produces the
+    same greedy tokens as the single-device paged engine."""
+    import dataclasses
+    from chatterbox_vllm2_tpu.config import MeshConfig
+    from chatterbox_vllm2_tpu.parallel import make_mesh
+
+    cfg, params = setup
+    reqs = _requests(cfg.t3, 4)
+
+    ref = PagedContinuousEngine(cfg, params, compute_dtype=jnp.float32)
+    ref_results = ref.run([dataclasses.replace(r) for r in reqs])
+
+    data, model = mesh_shape
+    mesh = make_mesh(MeshConfig(data=data, model=model))
+    eng = PagedContinuousEngine(cfg, params, compute_dtype=jnp.float32,
+                                mesh=mesh)
+    out = eng.run([dataclasses.replace(r) for r in reqs])
+
+    for r_ref, r_sh in zip(ref_results, out):
+        np.testing.assert_array_equal(
+            r_ref.tokens, r_sh.tokens,
+            err_msg=f"sharded paged {mesh_shape} diverged from unsharded")
+        assert r_ref.finished_by_stop == r_sh.finished_by_stop
+
+
+def test_sharded_paged_int8(setup):
+    """INT8 pages under a mesh: completes with sane tokens (int8 KV is lossy,
+    so no exact parity claim — mirrors the unsharded int8 test)."""
+    import dataclasses
+    from chatterbox_vllm2_tpu.config import MeshConfig
+    from chatterbox_vllm2_tpu.parallel import make_mesh
+
+    cfg, params = setup
+    cfg8 = cfg.replace(engine=cfg.engine.__class__(
+        max_batch_size=2, max_model_len=64, prefill_buckets=(8, 16),
+        kv_block_size=8, decode_steps_per_dispatch=4, kv_cache_dtype="int8"))
+    mesh = make_mesh(MeshConfig(data=2, model=2))
+    eng = PagedContinuousEngine(cfg8, params, compute_dtype=jnp.float32,
+                                mesh=mesh)
+    results = eng.run([dataclasses.replace(r) for r in _requests(cfg.t3, 2)])
+    assert len(results) == 2
+    for r in results:
+        assert np.all(r.tokens >= 0)
+        assert np.all(r.tokens < cfg.t3.speech_vocab_size)

@@ -162,3 +162,22 @@ def test_library_generate_stream_matches_batch(standalone_model):
     assert len(streamed) == len(batch) == 2
     for a, b in zip(streamed, batch):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_time_stretch_unit():
+    """WSOLA stretch: duration scales by 1/speed, signal stays periodic-ish
+    (a pure tone keeps its pitch: dominant FFT bin unchanged)."""
+    import numpy as np
+    from chatterbox_vllm2_tpu.frontend.audio import time_stretch
+
+    sr = 24000
+    t = np.arange(sr) / sr                    # 1 s of 440 Hz
+    wav = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    for speed in (0.5, 2.0):
+        out = time_stretch(wav, sr, speed)
+        assert abs(len(out) - len(wav) / speed) < 0.02 * sr
+        spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        peak_hz = np.argmax(spec) * sr / len(out)
+        assert abs(peak_hz - 440) < 15, (speed, peak_hz)
+    # identity passthrough
+    assert time_stretch(wav, sr, 1.0) is wav

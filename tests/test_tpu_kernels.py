@@ -52,35 +52,48 @@ def test_int8_matmul_compiled_matches_fp():
 
 
 @tpu_only
-def test_paged_attention_compiled_matches_dense():
-    from chatterbox_vllm2_tpu.ops.paged_attention import paged_attention_decode
+@pytest.mark.parametrize("quantized,bs", [(False, 64), (False, 128),
+                                          (True, 128)])
+def test_paged_attention_pairs_compiled_matches_dense(quantized, bs):
+    from chatterbox_vllm2_tpu.ops.paged_attention import (
+        pack_pairs, paged_attention_pairs, unpack_pairs,
+        write_prefill_to_pages)
 
     rng = np.random.RandomState(2)
-    S, H, D, bs, NB = 4, 4, 64, 16, 6
-    P = S * NB
-    lengths = np.array([17, 33, 64, 80], np.int32)
-    k_pool = rng.randn(P, H, bs, D).astype(np.float32) * 0.3
-    v_pool = rng.randn(P, H, bs, D).astype(np.float32) * 0.3
-    tables = np.arange(P, dtype=np.int32).reshape(S, NB)
+    B, H, D, NB, L = 4, 16, 64, 3, 2
+    layer = 1
+    S = 2 * B
+    P = B * NB
+    T = bs * NB
+    lengths = np.array([17, 130, T, 80], np.int32)
+    k = rng.randn(L, S, H, T, D).astype(np.float32) * 0.3
+    v = rng.randn(L, S, H, T, D).astype(np.float32) * 0.3
+    tables = np.arange(P, dtype=np.int32).reshape(B, NB)
     q = rng.randn(S, H, D).astype(np.float32) * 0.3
 
-    out = np.asarray(paged_attention_decode(
-        jnp.asarray(q), jnp.asarray(k_pool, jnp.bfloat16),
-        jnp.asarray(v_pool, jnp.bfloat16), jnp.asarray(tables),
-        jnp.asarray(lengths), block_size=bs, sm_scale=D ** -0.5,
-        interpret=False))
+    kv_dtype = jnp.int8 if quantized else jnp.bfloat16
+    kp = jnp.zeros((L, P, H, bs, 2 * D), kv_dtype)
+    vp = jnp.zeros_like(kp)
+    ks = jnp.zeros((L, P, H, bs), jnp.float32) if quantized else None
+    vs = jnp.zeros((L, P, H, bs), jnp.float32) if quantized else None
+    kp, vp, ks, vs = write_prefill_to_pages(
+        kp, vp, jnp.asarray(k), jnp.asarray(v), jnp.asarray(tables),
+        block_size=bs, k_scales=ks, v_scales=vs)
+
+    out = np.asarray(unpack_pairs(paged_attention_pairs(
+        pack_pairs(jnp.asarray(q)), kp, vp, jnp.asarray(tables),
+        jnp.asarray(lengths), layer, block_size=bs, sm_scale=D ** -0.5,
+        k_scales=ks, v_scales=vs, interpret=False)))
 
     # dense reference
     for s in range(S):
-        L = int(lengths[s])
-        ks = np.concatenate([k_pool[tables[s, i]].transpose(1, 0, 2)
-                             for i in range(NB)], axis=0)[:L]   # [L, H, D]
-        vs = np.concatenate([v_pool[tables[s, i]].transpose(1, 0, 2)
-                             for i in range(NB)], axis=0)[:L]
-        scores = np.einsum("hd,lhd->hl", q[s], ks) * (D ** -0.5)
+        n = int(lengths[s // 2])
+        ks_ = k[layer, s, :, :n, :]
+        vs_ = v[layer, s, :, :n, :]
+        scores = np.einsum("hd,hld->hl", q[s], ks_) * (D ** -0.5)
         probs = np.exp(scores - scores.max(-1, keepdims=True))
         probs /= probs.sum(-1, keepdims=True)
-        ref = np.einsum("hl,lhd->hd", probs, vs)
+        ref = np.einsum("hl,hld->hd", probs, vs_)
         np.testing.assert_allclose(out[s], ref, rtol=0.05, atol=0.05)
 
 
