@@ -732,3 +732,17 @@ class PagedContinuousEngine:
             if r.seed is None:
                 r.seed = seed + i
         return self.run(requests)
+
+    def partial_tokens(self) -> dict:
+        """Tokens generated so far for ACTIVE requests, keyed by request id
+        (token-chunk streaming consumers poll this between step() calls)."""
+        if not self._active:
+            return {}
+        n_gen = np.asarray(jax.device_get(self._state.n_generated))
+        out = np.asarray(jax.device_get(self._state.out_tokens))
+        stop = self.t3cfg.stop_speech_token
+        res = {}
+        for slot, (rid, _req, _t0) in self._active.items():
+            toks = out[slot, : n_gen[slot]]
+            res[rid] = toks[toks != stop].astype(np.int32)
+        return res

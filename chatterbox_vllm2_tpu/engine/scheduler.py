@@ -301,6 +301,20 @@ class ContinuousEngine:
                 t3_time_s=time.time() - t0,
             )
 
+    def partial_tokens(self) -> dict:
+        """Tokens generated so far for ACTIVE requests, keyed by request id
+        (token-chunk streaming consumers poll this between step() calls)."""
+        if not self._active:
+            return {}
+        n_gen = np.asarray(jax.device_get(self._state.n_generated))
+        out = np.asarray(jax.device_get(self._state.out_tokens))
+        stop = self.t3cfg.stop_speech_token
+        res = {}
+        for slot, (rid, _req, _t0) in self._active.items():
+            toks = out[slot, : n_gen[slot]]
+            res[rid] = toks[toks != stop].astype(np.int32)
+        return res
+
     def step(self) -> list[T3Result]:
         """Admit pending requests into free slots, run one decode chunk,
         harvest finished requests.  Returns results completed this step."""

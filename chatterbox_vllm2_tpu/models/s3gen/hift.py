@@ -223,8 +223,15 @@ def hift_apply(
     mel: jnp.ndarray,          # [B, 80, T_mel]
     key: jax.Array,
     cache_source: jnp.ndarray | None = None,   # [B, 1, T_cache] streaming source
+    cache_len: jnp.ndarray | None = None,      # [] int32 — valid cache samples
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (wav [B, T_mel*300], source [B, 1, T_wav])."""
+    """Returns (wav [B, T_mel*300], source [B, 1, T_wav]).
+
+    Streaming (reference `hifigan.py:462-474` cache_source semantics): pass
+    the previous call's returned source to keep the harmonic excitation
+    phase-continuous across chunks.  `cache_len` makes the valid-cache length
+    dynamic (cache_source may be a right-padded static-shape buffer); without
+    it the whole cache_source buffer is taken as valid."""
     B, _, T_mel = mel.shape
     total_up = int(np.prod(cfg.upsample_rates)) * cfg.istft_hop_len    # 480
 
@@ -234,8 +241,13 @@ def hift_apply(
     s = jnp.tanh(linear(params["source_linear"], sines))[..., 0]       # [B, T_wav]
     s = s[:, None, :]                                                  # [B, 1, T]
     if cache_source is not None and cache_source.shape[-1] > 0:
-        n = cache_source.shape[-1]
-        s = s.at[:, :, :n].set(cache_source)
+        n = min(cache_source.shape[-1], s.shape[-1])
+        if cache_len is None:
+            s = s.at[:, :, :n].set(cache_source[:, :, :n])
+        else:
+            keep = (jnp.arange(n) < cache_len)[None, None, :]
+            s = s.at[:, :, :n].set(
+                jnp.where(keep, cache_source[:, :, :n], s[:, :, :n]))
 
     s_real, s_imag = stft_small(s[:, 0, :], cfg.istft_n_fft, cfg.istft_hop_len)
     s_stft = jnp.concatenate([s_real, s_imag], axis=1)                 # [B, 18, F_t]

@@ -99,14 +99,14 @@ class S3GenEngine:
 
     # -- jitted stages ------------------------------------------------------
 
-    def _flow_fn(self, T_bucket: int, n_timesteps: int):
+    def _flow_fn(self, T_bucket: int, n_timesteps: int, finalize: bool = True):
         # Weight ARRAYS are jit arguments, never closure constants: closing
         # over device arrays bakes them into the HLO as literals — the
         # serialized program then exceeds the axon tunnel's compile-request
         # size limit (HTTP 413; hit on the first TPU e2e bench).  Static
         # metadata in the tree (conv kernel/dilation ints) stays in the
         # closure via split_arrays/merge_arrays.
-        key = (T_bucket, n_timesteps)
+        key = (T_bucket, n_timesteps, finalize)
         if key not in self._flow_jit:
             _, spec = split_arrays((self.params["flow"],
                                     self.params["rand_noise"]))
@@ -118,12 +118,27 @@ class S3GenEngine:
                     flow_params, self.cfg, tokens, mask, prompt_feat,
                     prompt_mel_len, embedding, rand_noise,
                     pos_table=self._pos_table, pos_table_len=self._pos_table_len,
-                    n_timesteps=n_timesteps,
+                    n_timesteps=n_timesteps, finalize=finalize,
                 )
 
             self._flow_jit[key] = jax.jit(fn)
         arrays, _ = split_arrays((self.params["flow"], self.params["rand_noise"]))
         return functools.partial(self._flow_jit[key], arrays)
+
+    def _hift_stream_fn(self, M_bucket: int):
+        """HiFT with a right-padded dynamic-length source cache (streaming)."""
+        key = ("stream", M_bucket)
+        if key not in self._hift_jit:
+            _, spec = split_arrays(self.params["hift"])
+
+            def fn(arrays, mel, hift_key, cache, cache_len):
+                return hift_apply(merge_arrays(arrays, spec), self.cfg.hift,
+                                  mel, hift_key, cache_source=cache,
+                                  cache_len=cache_len)
+
+            self._hift_jit[key] = jax.jit(fn)
+        arrays, _ = split_arrays(self.params["hift"])
+        return functools.partial(self._hift_jit[key], arrays)
 
     def _hift_fn(self, M_bucket: int):
         if M_bucket not in self._hift_jit:
@@ -287,3 +302,100 @@ class S3GenEngine:
             if m <= 2 * b:
                 return 2 * b
         return 2 * self.token_buckets[-1]
+
+
+class StreamingVocoder:
+    """Token-chunk streaming synthesis over one utterance.
+
+    Mirrors the reference's streaming hooks instead of its batch path: the
+    flow runs on the full token prefix with `finalize=False` and the last
+    `pre_lookahead_len` tokens' frames are withheld until the final chunk
+    (reference `flow.py:268-269`), and HiFT is re-run over the full generated
+    mel with the previous call's source cache so the harmonic excitation is
+    phase-continuous across chunks (reference `hifigan.py:462-474`
+    `cache_source`).  Each push yields only the newly-reliable samples.
+
+    Shapes stay static via the engine's ascending token/mel buckets, so a
+    stream compiles the same programs batch inference does (plus the
+    streaming-HiFT variant).  Recompute cost is O(prefix) per chunk — the
+    price of exact-context streaming at these short lengths.
+    """
+
+    def __init__(self, engine: S3GenEngine, ref: RefDict, *,
+                 n_timesteps: int = 10, seed: int = 0,
+                 chunk_tokens: int = 25):
+        self.eng = engine
+        self.ref = ref
+        self.n_timesteps = n_timesteps
+        self.chunk_tokens = chunk_tokens
+        self.tokens: list = []
+        self.emitted_mel = 0          # generated-region mel frames emitted
+        self.source_cache: np.ndarray | None = None   # [1, 1, n] numpy
+        self.finished = False
+        self._first = True
+        self._key = jax.random.key(np.uint32(seed))
+
+    def push(self, new_tokens, final: bool = False) -> np.ndarray | None:
+        """Feed newly decoded speech tokens; returns the next wav chunk
+        (float32, 24 kHz) or None if not enough tokens are buffered yet."""
+        assert not self.finished
+        eng, cfg = self.eng, self.eng.cfg
+        self.tokens.extend(int(t) for t in np.asarray(new_tokens).ravel())
+        la = cfg.encoder.pre_lookahead_len
+        n = len(self.tokens)
+        avail_mel = 2 * n if final else max(2 * (n - la), 0)
+        if not final and avail_mel - self.emitted_mel < 2 * self.chunk_tokens:
+            return None
+        if final:
+            self.finished = True
+        if avail_mel <= self.emitted_mel:
+            return np.zeros(0, np.float32) if final else None
+
+        ref = self.ref
+        np_tok = len(ref.prompt_token)
+        total = np_tok + n
+        T_b = eng._bucket(total)
+        P_max = 2 * eng.max_prompt_tokens
+        tokens = np.zeros((1, T_b), np.int32)
+        tokens[0, :np_tok] = ref.prompt_token
+        tokens[0, np_tok:total] = self.tokens
+        mask = np.zeros((1, T_b), bool)
+        mask[0, :total] = True
+        pf = np.zeros((1, P_max, cfg.mel_bins), np.float32)
+        pf[0, : ref.prompt_feat.shape[0]] = ref.prompt_feat
+        p_len = np.asarray([ref.prompt_feat.shape[0]], np.int32)
+        emb = ref.embedding[None].astype(np.float32)
+
+        mel_full = np.asarray(eng._flow_fn(T_b, self.n_timesteps,
+                                           finalize=final)(
+            jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(pf),
+            jnp.asarray(p_len), jnp.asarray(emb)))     # [1, 80, T_mel(-la*2)]
+        start = ref.prompt_feat.shape[0]
+        gen_mel = mel_full[0, :, start: start + avail_mel]   # [80, avail]
+        avail_mel = gen_mel.shape[1]                   # guard vs bucket edge
+
+        M_b = eng._bucket_mel(avail_mel)
+        mel_in = np.zeros((1, cfg.mel_bins, M_b), np.float32)
+        mel_in[0, :, :avail_mel] = gen_mel
+        if avail_mel < M_b:
+            mel_in[0, :, avail_mel:] = gen_mel[:, -1:]
+        cache = np.zeros((1, 1, M_b * 480), np.float32)
+        cache_n = 0
+        if self.source_cache is not None:
+            cache_n = min(self.source_cache.shape[-1], cache.shape[-1])
+            cache[:, :, :cache_n] = self.source_cache[:, :, :cache_n]
+        wav_full, source = eng._hift_stream_fn(M_b)(
+            jnp.asarray(mel_in), self._key, jnp.asarray(cache),
+            jnp.asarray(cache_n, jnp.int32))
+        wav_full = np.asarray(wav_full)[0]
+        self.source_cache = np.asarray(source)[:, :, : avail_mel * 480]
+
+        lo, hi = self.emitted_mel * 480, avail_mel * 480
+        chunk = wav_full[lo:hi].astype(np.float32).copy()
+        if self._first:
+            fade = eng._trim_fade
+            m = min(len(fade), len(chunk))
+            chunk[:m] *= fade[:m]
+            self._first = False
+        self.emitted_mel = avail_mel
+        return chunk

@@ -485,6 +485,45 @@ class ChatterboxTTS:
         }
         return wavs
 
+    def generate_stream_tokens(
+        self,
+        prompt: str,
+        audio_prompt_path: Optional[str] = None,
+        conds: Optional[Conditionals] = None,
+        language_id: Optional[str] = "en",
+        exaggeration: float = 0.5,
+        temperature: float = 0.8,
+        top_p: float = 1.0,
+        min_p: float = 0.05,
+        repetition_penalty: float = 2.0,
+        cfg_scale: float = 0.5,
+        max_tokens: int = 1000,
+        diffusion_steps: int = 10,
+        seed: int = 0,
+        chunk_tokens: int = 25,
+    ):
+        """TOKEN-chunk streaming synthesis for ONE utterance: yields wav
+        chunks (float32 @ 24 kHz) every ~`chunk_tokens` speech tokens while
+        T3 is still decoding — first audio lands at first-chunk latency
+        instead of first-sentence latency (VERDICT r4 item 7).  Uses the
+        reference's streaming hooks re-built natively: flow pre-lookahead
+        finalize (reference `flow.py:268-269`) and the HiFT source cache
+        (reference `hifigan.py:462-474`) via models/s3gen StreamingVocoder.
+
+        Requires a continuous engine (submit/step); the engine must not be
+        concurrently driven by a TTSService worker."""
+        if not hasattr(self.engine, "partial_tokens"):
+            raise RuntimeError(
+                "token streaming needs a continuous engine "
+                "(engine_kind 'continuous' or 'paged')")
+        return _generate_stream_tokens(
+            self, prompt, audio_prompt_path=audio_prompt_path, conds=conds,
+            language_id=language_id, exaggeration=exaggeration,
+            temperature=temperature, top_p=top_p, min_p=min_p,
+            repetition_penalty=repetition_penalty, cfg_scale=cfg_scale,
+            max_tokens=max_tokens, diffusion_steps=diffusion_steps,
+            seed=seed, chunk_tokens=chunk_tokens)
+
     def generate_stream(
         self,
         prompt: str,
@@ -561,3 +600,59 @@ class ChatterboxTTS:
                                            seed=seed + k)
             else:
                 yield np.zeros(0, np.float32)
+
+
+def _filter_speech_tokens(tokens: np.ndarray, vocab: int) -> np.ndarray:
+    return tokens[(tokens >= 0) & (tokens < vocab)]
+
+
+def _generate_stream_tokens(model, prompt: str, **kw):
+    """Implementation of ChatterboxTTS.generate_stream_tokens (module-level
+    so the class method below stays a thin signature wrapper)."""
+    from .frontend.text import punc_norm
+    from .models.s3gen.s3gen import StreamingVocoder
+
+    conds = kw.get("conds") or model.get_audio_conditionals(
+        kw.get("audio_prompt_path"))
+    cond_emb = model.update_exaggeration(conds, kw.get("exaggeration", 0.5))
+    sampling = SamplingConfig(
+        temperature=kw.get("temperature", 0.8),
+        top_p=kw.get("top_p", 1.0), min_p=kw.get("min_p", 0.05),
+        repetition_penalty=kw.get("repetition_penalty", 2.0),
+        max_tokens=kw.get("max_tokens", 1000),
+        cfg_scale=kw.get("cfg_scale", 0.5))
+    language_id = kw.get("language_id", "en")
+    seed = kw.get("seed", 0)
+    ids = np.asarray(
+        model.tokenizer.encode(
+            punc_norm(prompt),
+            language_id if model.variant == "multilingual" else None),
+        np.int32)
+    rid = model.engine.submit(T3Request(
+        text_ids=ids, cond_emb=cond_emb, sampling=sampling,
+        max_new_tokens=sampling.max_tokens, seed=seed))
+
+    voc = StreamingVocoder(
+        model.s3gen, conds.ref,
+        n_timesteps=kw.get("diffusion_steps", 10), seed=seed,
+        chunk_tokens=kw.get("chunk_tokens", 25))
+    vocab = model.config.s3gen.speech_vocab_size
+    emitted = 0
+    final = None
+    while final is None:
+        for res in model.engine.step():
+            if res.request_id == rid:
+                final = res
+        if final is None:
+            part = model.engine.partial_tokens().get(rid)
+            if part is not None:
+                part = _filter_speech_tokens(part, vocab)
+                if len(part) > emitted:
+                    chunk = voc.push(part[emitted:])
+                    emitted = len(part)
+                    if chunk is not None and len(chunk):
+                        yield chunk
+    toks = _filter_speech_tokens(final.tokens, vocab)
+    chunk = voc.push(toks[emitted:], final=True)
+    if chunk is not None and len(chunk):
+        yield chunk
