@@ -57,16 +57,22 @@ def build_engine(jax, jnp, B, max_len, quant_mode, engine_kind):
 
 def bench_e2e(jax, jnp, eng, t3_results, t3_dt, mark):
     """End-to-end phase: vocode the T3 results with the full-size S3Gen and
-    report RTF (wall seconds per audio second) and TTFA (time to first
-    audio: one utterance's T3 + S3Gen latency)."""
+    report RTF (wall seconds per audio second) and TTFA.
+
+    TTFA is measured the way a streaming client experiences it: one request
+    submitted to the WARM continuous engine, token-chunk streaming vocoding
+    (ChatterboxTTS.generate_stream_tokens path), clock stops when the first
+    wav chunk exists (VERDICT r4 item 7)."""
     import numpy as np
 
     from chatterbox_vllm2_tpu.models.s3gen.s3gen import (
         RefDict,
         S3GenEngine,
+        StreamingVocoder,
         init_s3gen_params,
     )
-    from chatterbox_vllm2_tpu.config import S3GenConfig
+    from chatterbox_vllm2_tpu.config import S3GenConfig, SamplingConfig
+    from chatterbox_vllm2_tpu.engine import T3Request
 
     cfg = S3GenConfig()
     params = init_s3gen_params(jax.random.PRNGKey(1), cfg, jnp.float32)
@@ -93,15 +99,56 @@ def bench_e2e(jax, jnp, eng, t3_results, t3_dt, mark):
                               seeds=list(range(len(items))))
     s3_dt = time.time() - t0
     audio_s = sum(len(w) for w in wavs) / 24000.0
-    # TTFA: batch-1 T3 latency share + one-sample vocode
+
+    # ---- streaming TTFA ------------------------------------------------- #
+    if hasattr(eng, "submit"):
+        cont = eng
+    else:
+        from chatterbox_vllm2_tpu.engine.scheduler import ContinuousEngine
+        cont = ContinuousEngine(eng)
+
+    def one_request(seed):
+        return T3Request(
+            text_ids=rng.randint(1, 2454, size=40).astype(np.int32),
+            cond_emb=(rng.randn(34, 1024) * 0.02).astype(np.float32),
+            sampling=SamplingConfig(temperature=0.8, top_p=0.8,
+                                    repetition_penalty=2.0),
+            max_new_tokens=64, seed=seed)
+
+    def stream_first_chunk(seed):
+        rid = cont.submit(one_request(seed))
+        voc = StreamingVocoder(s3, ref, n_timesteps=10, seed=seed,
+                               chunk_tokens=25)
+        emitted, chunk, final = 0, None, None
+        while chunk is None or not len(chunk):
+            for res in cont.step():
+                if res.request_id == rid:
+                    final = res
+            part = cont.partial_tokens().get(rid) if final is None \
+                else final.tokens
+            if part is None:
+                continue
+            part = np.clip(part[part < 6561], 0, 6560)
+            if len(part) > emitted or final is not None:
+                chunk = voc.push(part[emitted:], final=final is not None)
+                emitted = len(part)
+                if final is not None:
+                    break
+        # drain the engine so the next measurement starts clean
+        while cont.has_work if hasattr(cont, "has_work") else cont._active:
+            cont.step()
+        return chunk
+
+    stream_first_chunk(seed=123)   # warm (admit-1 + stream-vocoder compiles)
+    mark("streaming warm")
     t0 = time.time()
-    s3.inference_batch(items[:1], n_timesteps=10, seeds=[0])
-    one_s3 = time.time() - t0
+    stream_first_chunk(seed=124)
+    ttfa = time.time() - t0
     return {
         "e2e_rtf": round((t3_dt + s3_dt) / max(audio_s, 1e-9), 4),
         "audio_s": round(audio_s, 2),
         "s3gen_s": round(s3_dt, 2),
-        "ttfa_s": round(t3_dt + one_s3, 2),
+        "ttfa_s": round(ttfa, 2),
     }
 
 

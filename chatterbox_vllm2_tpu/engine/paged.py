@@ -140,7 +140,7 @@ def paged_backbone_decode(
                 in_specs=(P("data", "model", None),) * 3
                 + (kv_specs, P("data")),
                 out_specs=(P("data", "model", None), kv_specs),
-                check_rep=False,
+                check_vma=False,
             )(q, k, v, paged, lengths)
 
     for l in range(cfg.num_layers):
@@ -433,7 +433,7 @@ class PagedContinuousEngine:
                           P(None, None, "model", None, None),
                           P(None, None), P()),
                 out_specs=(pool, pool, scl, scl),
-                check_rep=False,
+                check_vma=False,
             )(paged.k, paged.v, paged.k_scales, paged.v_scales,
               new_k, new_v, pair_tables, owner)
 
