@@ -260,28 +260,31 @@ class ContinuousEngine:
             samp["top_p"][r] = req.sampling.top_p
             samp["min_p"][r] = req.sampling.min_p
             samp["repetition_penalty"][r] = req.sampling.repetition_penalty
-        sampling = SamplingState(**{k: jnp.asarray(v) for k, v in samp.items()})
+        # numpy (not device-committed) inputs: in a multi-process job these
+        # are host-replicated values every process passes identically
+        # (engine/multihost.py) — jit places them per its compiled sharding
+        sampling = SamplingState(**samp)
         kv_k, kv_v, prefill_len, tok, seen, keys = self._prefill_pair(
-            self.engine.params, jnp.asarray(cond), jnp.asarray(text_ids),
-            jnp.asarray(text_len), sampling,
-            jnp.asarray(cfg_scale), make_keys(seeds))
+            self.engine.params, cond, text_ids,
+            text_len, sampling,
+            cfg_scale, np.asarray(make_keys(seeds)))
         for r, (slot, rid, req) in enumerate(chunk):
             L = len(req.text_ids)
             req_sampling = SamplingState(*(a[r:r + 1] for a in sampling))
             (self._state, self._sampling, self._cfg_scale, self._max_new,
              self._text_len) = self._admit(
                 self._state, self._sampling, self._cfg_scale, self._max_new,
-                self._text_len, jnp.asarray(slot, jnp.int32),
+                self._text_len, np.int32(slot),
                 kv_k[:, 2 * r: 2 * r + 2], kv_v[:, 2 * r: 2 * r + 2],
                 prefill_len[2 * r: 2 * r + 2], tok[r:r + 1], seen[r:r + 1],
                 keys[r:r + 1],
                 req_sampling,
-                jnp.asarray([req.sampling.cfg_scale], jnp.float32),
-                jnp.asarray(
+                np.asarray([req.sampling.cfg_scale], np.float32),
+                np.asarray(
                     [min(req.max_new_tokens, req.sampling.max_tokens,
                          self.max_len - (cfg.cond_seq_len + L + 1) - 1)],
-                    jnp.int32),
-                jnp.asarray([L], jnp.int32))
+                    np.int32),
+                np.asarray([L], np.int32))
             self._active[slot] = (rid, req, time.time())
             self._len_bound[slot] = cfg.cond_seq_len + L + 1
 
