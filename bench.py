@@ -115,15 +115,27 @@ def bench_e2e(jax, jnp, eng, t3_results, t3_dt, mark):
                                     repetition_penalty=2.0),
             max_new_tokens=64, seed=seed)
 
-    def stream_first_chunk(seed):
+    def stream_first_chunk(seed, tag=""):
+        t_start = time.time()
+
+        def m(msg):
+            mark(f"  ttfa{tag} +{time.time()-t_start:6.2f}s {msg}")
+
         rid = cont.submit(one_request(seed))
+        # chunk_tokens 20: the engine's first 32-token dispatch already
+        # carries a full chunk (post-filter ~24 tokens, minus 3 lookahead),
+        # so first audio needs exactly one decode dispatch
         voc = StreamingVocoder(s3, ref, n_timesteps=10, seed=seed,
-                               chunk_tokens=25)
-        emitted, chunk, final = 0, None, None
-        while chunk is None or not len(chunk):
+                               chunk_tokens=20)
+        emitted, final, t_first = 0, None, None
+        # run the stream to COMPLETION: the warm pass must compile every
+        # variant the timed pass can hit (notably the finalize=True flow);
+        # TTFA is stamped at the first non-empty chunk either way
+        while final is None:
             for res in cont.step():
                 if res.request_id == rid:
                     final = res
+            m("step done")
             part = cont.partial_tokens().get(rid) if final is None \
                 else final.tokens
             if part is None:
@@ -131,19 +143,20 @@ def bench_e2e(jax, jnp, eng, t3_results, t3_dt, mark):
             part = np.clip(part[part < 6561], 0, 6560)
             if len(part) > emitted or final is not None:
                 chunk = voc.push(part[emitted:], final=final is not None)
+                m(f"push({len(part)-emitted}) -> "
+                  f"{0 if chunk is None else len(chunk)}")
                 emitted = len(part)
-                if final is not None:
-                    break
+                if chunk is not None and len(chunk) and t_first is None:
+                    t_first = time.time() - t_start
         # drain the engine so the next measurement starts clean
         while cont.has_work if hasattr(cont, "has_work") else cont._active:
             cont.step()
-        return chunk
+        m("drained")
+        return t_first if t_first is not None else time.time() - t_start
 
-    stream_first_chunk(seed=123)   # warm (admit-1 + stream-vocoder compiles)
+    stream_first_chunk(seed=123, tag="-warm")
     mark("streaming warm")
-    t0 = time.time()
-    stream_first_chunk(seed=124)
-    ttfa = time.time() - t0
+    ttfa = stream_first_chunk(seed=124)
     return {
         "e2e_rtf": round((t3_dt + s3_dt) / max(audio_s, 1e-9), 4),
         "audio_s": round(audio_s, 2),
@@ -228,6 +241,19 @@ def main() -> None:
     if os.environ.get("BENCH_E2E", "1") == "1":   # default ON (VERDICT r3 #3)
         e2e = bench_e2e(jax, jnp, eng, res, dt, mark)
         print(json.dumps({**line, **e2e}), flush=True)
+
+    if os.environ.get("BENCH_QUALITY", "1") == "1":   # VERDICT r4 item 5
+        # fixed-seed quantization-quality block: T3 token agreement vs bf16
+        # for int8/int4_awq + int8-S3Gen waveform deviation (small shapes so
+        # the extra engine builds stay cheap through the persistent cache)
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        from bench_quality import s3gen_waveform_deviation, t3_token_agreement
+        quality = {"t3": t3_token_agreement(pairs=4, tokens=96)}
+        mark("quality: t3 agreement done")
+        quality["s3gen_int8"] = s3gen_waveform_deviation()
+        mark("quality: s3gen deviation done")
+        print(json.dumps({**line, **e2e, "quality": quality}), flush=True)
 
 
 

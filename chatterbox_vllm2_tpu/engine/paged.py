@@ -273,6 +273,11 @@ class PagedContinuousEngine:
         self._decode_chunk = jax.jit(
             self._decode_chunk_impl,
             static_argnames=("num_steps",), donate_argnums=(1,))
+        # one packed [3, B] transfer per chunk instead of three device_gets
+        self._flags = jax.jit(lambda st: jnp.stack(
+            [st.done.astype(jnp.int32), st.n_generated,
+             st.stopped.astype(jnp.int32)]))
+        self._done_cache = np.ones((self.B,), bool)   # all slots free
         self._prefill_pair = jax.jit(self._prefill_pair_impl)
         self._admit = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3, 4))
         if mesh is None:
@@ -531,6 +536,7 @@ class PagedContinuousEngine:
         self._pending.clear()
         self._active.clear()
         self._results.clear()
+        self._done_cache = np.ones((self.B,), bool)
         for alloc in self.allocs:
             for row in range(self.B_local):
                 alloc.release(row)
@@ -583,6 +589,7 @@ class PagedContinuousEngine:
             # mark slot done on device so it stops decoding
             self._state = self._state._replace(
                 done=self._state.done.at[victim].set(True))
+            self._done_cache[victim] = True
             changed = True
 
     # Burst-admission sub-batch sizes (one prefill dispatch per burst).
@@ -666,7 +673,7 @@ class PagedContinuousEngine:
 
     def step(self) -> list[T3Result]:
         before = set(self._results)
-        done_host = np.array(jax.device_get(self._state.done))
+        done_host = self._done_cache.copy()
         batch = []
         for slot in self._slot_order():
             if not self._pending:
@@ -697,9 +704,11 @@ class PagedContinuousEngine:
             self._state = self._decode_chunk(
                 self.params, self._state, self._sampling, self._cfg_scale,
                 self._max_new, self._text_len, num_steps=steps)
-            done_host = np.asarray(jax.device_get(self._state.done))
-            n_gen = np.asarray(jax.device_get(self._state.n_generated))
-            stopped = np.asarray(jax.device_get(self._state.stopped))
+            flags = np.asarray(jax.device_get(self._flags(self._state)))
+            done_host = flags[0].astype(bool)
+            n_gen = flags[1]
+            stopped = flags[2].astype(bool)
+            self._done_cache = done_host
             finished = [s for s in self._active if bool(done_host[s])]
             if finished:
                 out_host = np.asarray(jax.device_get(self._state.out_tokens))

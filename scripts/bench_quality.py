@@ -97,10 +97,11 @@ def s3gen_waveform_deviation(n_utts=2, n_tok=128):
              for _ in range(n_utts)]
     seeds = list(range(n_utts))
 
-    fp = S3GenEngine(params, cfg, token_buckets=(n_tok,), max_prompt_tokens=64)
+    buckets = (len(ref.prompt_token) + n_tok,)   # prompt + generated
+    fp = S3GenEngine(params, cfg, token_buckets=buckets, max_prompt_tokens=64)
     w0 = fp.inference_batch(items, n_timesteps=10, seeds=seeds)
     q8 = S3GenEngine(quantize_linears(params, "int8"), cfg,
-                     token_buckets=(n_tok,), max_prompt_tokens=64)
+                     token_buckets=buckets, max_prompt_tokens=64)
     w1 = q8.inference_batch(items, n_timesteps=10, seeds=seeds)
     dev_max = max(float(np.max(np.abs(a - b))) for a, b in zip(w0, w1))
     denom = np.mean([np.mean(np.abs(a)) for a in w0]) + 1e-9
