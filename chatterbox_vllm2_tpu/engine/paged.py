@@ -62,7 +62,6 @@ from ..ops.paged_attention import (
     append_layer_to_pages,
     pack_pairs,
     paged_attention_pairs,
-    quantize_pair_rows,
     unpack_pairs,
     write_prefill_to_pages,
 )

@@ -44,33 +44,46 @@ def t3_token_agreement(pairs=4, tokens=128, max_len=384, modes=("int8", "int4_aw
         params = init_t3_params(0, cfg.t3, jnp.bfloat16)
         return T3Engine(cfg, params)
 
-    def requests():
+    def requests(temp):
         rng = np.random.RandomState(0)
         return [
             T3Request(
                 text_ids=rng.randint(1, 2454, size=40).astype(np.int32),
                 cond_emb=(rng.randn(34, 1024) * 0.02).astype(np.float32),
-                sampling=SamplingConfig(temperature=0.8, top_p=0.8,
+                sampling=SamplingConfig(temperature=temp, top_p=0.8,
                                         repetition_penalty=2.0),
                 max_new_tokens=tokens, seed=1000 + i)
             for i in range(pairs)
         ]
 
-    ref = build("none").generate(requests())
+    # both regimes: greedy isolates "did quantization change the argmax";
+    # sampled (temp 0.8) additionally shows how soon a flipped sample makes
+    # the streams diverge permanently (with random weights the logits are
+    # near-flat, so sampled agreement is a pessimistic bound — a flat
+    # distribution flips on any perturbation; trained weights are peaked)
+    engines = {m: build(m) for m in ("none",) + tuple(modes)}
     out = {}
-    for mode in modes:
-        res = build(mode).generate(requests())
-        agree, lens = [], []
-        for r0, r1 in zip(ref, res):
-            a, b = r0.tokens, r1.tokens
-            n = min(len(a), len(b))
-            if n == 0:
-                agree.append(1.0 if len(a) == len(b) else 0.0)
-            else:
-                agree.append(float(np.mean(a[:n] == b[:n])))
-            lens.append(len(b) / max(len(a), 1))
-        out[mode] = {"token_agreement": round(float(np.mean(agree)), 4),
-                     "len_ratio": round(float(np.mean(lens)), 4)}
+    for temp, tag in ((0.0, "greedy"), (0.8, "sampled")):
+        ref = engines["none"].generate(requests(temp))
+        for mode in modes:
+            res = engines[mode].generate(requests(temp))
+            agree, lens, first = [], [], []
+            for r0, r1 in zip(ref, res):
+                a, b = r0.tokens, r1.tokens
+                n = min(len(a), len(b))
+                if n == 0:
+                    agree.append(1.0 if len(a) == len(b) else 0.0)
+                    first.append(0)
+                else:
+                    eq = a[:n] == b[:n]
+                    agree.append(float(np.mean(eq)))
+                    div = np.flatnonzero(~eq)
+                    first.append(int(div[0]) if len(div) else n)
+                lens.append(len(b) / max(len(a), 1))
+            out.setdefault(mode, {})[tag] = {
+                "token_agreement": round(float(np.mean(agree)), 4),
+                "first_divergence": round(float(np.mean(first)), 1),
+                "len_ratio": round(float(np.mean(lens)), 4)}
     return out
 
 
