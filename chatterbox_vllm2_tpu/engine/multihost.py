@@ -116,12 +116,19 @@ class MultiHostContinuousEngine:
         conds = np.zeros((K,) + self._cond_shape, np.float32)
         free = [s for s in range(self.lo, self.hi)
                 if bool(self._done_host[s]) and s not in self.inner._active]
+        lock = getattr(self, "_lock", None)
         taken = []
         for k in range(K):
-            if not self._pending or not free:
-                break
+            if lock is not None:
+                with lock:
+                    if not self._pending or not free:
+                        break
+                    rid, req = self._pending.popleft()
+            else:
+                if not self._pending or not free:
+                    break
+                rid, req = self._pending.popleft()
             slot = free.pop(0)
-            rid, req = self._pending.popleft()
             taken.append((slot, rid, req))
             L = len(req.text_ids)
             ints[k, 0] = slot
@@ -134,9 +141,13 @@ class MultiHostContinuousEngine:
             floats[k] = (s.temperature, s.top_p, s.min_p,
                          s.repetition_penalty, s.cfg_scale)
             conds[k] = req.cond_emb
-        work = np.asarray([1 if (self._pending or taken or any(
-            s in self.inner._active for s in range(self.lo, self.hi)))
-            else 0], np.int64)
+        busy = 1 if (self._pending or taken or any(
+            s in self.inner._active for s in range(self.lo, self.hi))) else 0
+        # bit 1: this host wants to stop its background loop; the loop only
+        # exits once EVERY host set it (leaving a collective one-sided
+        # aborts the peer's gloo/ICI transfer)
+        stop_bit = 2 if getattr(self, "_stop_evt", None) is not None             and self._stop_evt.is_set() else 0
+        work = np.asarray([busy | stop_bit], np.int64)
         self._proposed = {rid: req for _, rid, req in taken}
         return ints, floats, conds, work
 
@@ -211,7 +222,10 @@ class MultiHostContinuousEngine:
                 if rid.startswith(f"h{self.host}-"):
                     self._results[rid] = res
 
-        self.global_work = bool(int(np.asarray(g_work).sum()))
+        flags = np.asarray(g_work).astype(np.int64)
+        self.global_work = bool(int((flags & 1).sum()))
+        self.all_want_stop = bool(int((flags & 2).astype(bool).sum())
+                                  == self.n_hosts)
         return [self._results[r] for r in self._results if r not in before]
 
     def run(self, requests: Sequence[T3Request],
@@ -226,3 +240,61 @@ class MultiHostContinuousEngine:
             if time.time() - t0 > timeout_s:
                 raise TimeoutError("multi-host serving did not drain")
         return [self._results.pop(r) for r in rids]
+
+    # ------------------------------------------------------------------ #
+    # background lockstep loop (per-host HTTP serving)
+    # ------------------------------------------------------------------ #
+
+    def start(self) -> None:
+        """Run the lockstep rounds on a background thread so host-local
+        callers (e.g. a TTSService worker) can submit() and block on
+        wait() while the collectives keep every host in step.  All hosts
+        must start their loops; idle rounds cost one tiny allgather and the
+        fast host simply blocks in it until the slow host arrives."""
+        import threading
+
+        if getattr(self, "_loop_thread", None) is not None:
+            return
+        self._lock = threading.Lock()
+        self._events: dict = {}
+        self._stop_evt = threading.Event()
+
+        def loop():
+            # coordinated shutdown: keep stepping (and serving other hosts'
+            # work) until EVERY host has requested stop and no work remains
+            while True:
+                for res in self.step():
+                    with self._lock:
+                        ev = self._events.get(res.request_id)
+                    if ev is not None:
+                        ev.set()
+                if getattr(self, "all_want_stop", False)                         and not self.global_work:
+                    return
+                if not self.global_work:
+                    time.sleep(0.01)
+
+        self._loop_thread = threading.Thread(target=loop, daemon=True,
+                                             name="multihost-lockstep")
+        self._loop_thread.start()
+
+    def stop(self) -> None:
+        if getattr(self, "_loop_thread", None) is None:
+            return
+        self._stop_evt.set()
+        self._loop_thread.join(timeout=120)
+        self._loop_thread = None
+
+    def submit_wait(self, req: T3Request, timeout_s: float = 600.0) -> T3Result:
+        """Thread-safe submit + block until this request completes (requires
+        start()); the host-local entry an HTTP handler calls."""
+        import threading
+
+        ev = threading.Event()
+        with self._lock:
+            rid = self.submit(req)
+            self._events[rid] = ev
+        if not ev.wait(timeout_s):
+            raise TimeoutError(f"request {rid} timed out")
+        with self._lock:
+            del self._events[rid]
+            return self._results.pop(rid)

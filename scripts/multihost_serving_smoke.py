@@ -117,6 +117,23 @@ def worker(ref_path: str) -> None:
             f"host {eng.host} request {idx}: {got} != reference {want}")
     print(f"worker {eng.host} OK: {len(results)} requests, "
           f"tokens match the single-process reference", flush=True)
+
+    # phase 2: background lockstep loop with STAGGERED submissions — host 1
+    # submits 0.6 s after host 0 while both loops idle-tick; the late
+    # request must still complete (no deadlock from asymmetric timing)
+    import dataclasses as _dc
+    import time as _time
+
+    eng.start()
+    again = [_dc.replace(reqs[i], request_id=None, seed=800 + i)
+             for i in LOADS[eng.host][:1]]
+    if eng.host == 1:
+        _time.sleep(0.6)
+    res2 = eng.submit_wait(again[0], timeout_s=300)
+    assert len(res2.tokens) > 0 or res2.finished_by_stop
+    eng.stop()
+    print(f"worker {eng.host} staggered submit_wait OK "
+          f"({len(res2.tokens)} tokens)", flush=True)
     if eng.host == 0:
         print("multihost_serving_smoke OK: 2 hosts x 4 devices, uneven "
               "load, global token parity, no deadlock")
