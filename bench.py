@@ -248,9 +248,12 @@ def main() -> None:
         # the extra engine builds stay cheap through the persistent cache)
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "scripts"))
-        from bench_quality import s3gen_waveform_deviation, t3_token_agreement
+        from bench_quality import (s3gen_waveform_deviation,
+                                   t3_logit_fidelity, t3_token_agreement)
         quality = {"t3": t3_token_agreement(pairs=4, tokens=96)}
         mark("quality: t3 agreement done")
+        quality["t3_logits"] = t3_logit_fidelity(pairs=4)
+        mark("quality: logit fidelity done")
         quality["s3gen_int8"] = s3gen_waveform_deviation()
         mark("quality: s3gen deviation done")
         print(json.dumps({**line, **e2e, "quality": quality}), flush=True)
