@@ -214,8 +214,10 @@ class MultiHostContinuousEngine:
                 (inner._state.done, inner._state.n_generated,
                  inner._state.stopped, inner._state.out_tokens), tiled=True)
             self._done_host = np.asarray(done)
+            self._last_out = np.asarray(out)
+            self._last_n_gen = np.asarray(n_gen)
             inner._harvest(np.asarray(done), np.asarray(n_gen),
-                           np.asarray(stopped), out_host=np.asarray(out))
+                           np.asarray(stopped), out_host=self._last_out)
             # keep only my results (other hosts' land in their own drivers)
             for rid in list(inner._results):
                 res = inner._results.pop(rid)
@@ -298,3 +300,62 @@ class MultiHostContinuousEngine:
         with self._lock:
             del self._events[rid]
             return self._results.pop(rid)
+
+    # ------------------------------------------------------------------ #
+    # serving-path adapters (TTSService / ChatterboxTTS call these)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def loop_running(self) -> bool:
+        return getattr(self, "_loop_thread", None) is not None
+
+    def submit_with_event(self, req: T3Request):
+        """Thread-safe submit returning (rid, completion Event); requires
+        start()."""
+        import threading
+
+        ev = threading.Event()
+        with self._lock:
+            rid = self.submit(req)
+            self._events[rid] = ev
+        return rid, ev
+
+    def result(self, rid: str) -> T3Result:
+        with self._lock:
+            self._events.pop(rid, None)
+            return self._results.pop(rid)
+
+    def partial_tokens(self) -> dict:
+        """Tokens-so-far for MY active requests, from the flags cached at
+        the last lockstep round (no extra device traffic)."""
+        out = getattr(self, "_last_out", None)
+        n_gen = getattr(self, "_last_n_gen", None)
+        if out is None:
+            return {}
+        stop = self.config.t3.stop_speech_token
+        res = {}
+        for slot, (rid, _req, _t0) in list(self.inner._active.items()):
+            if not rid.startswith(f"h{self.host}-"):
+                continue
+            toks = out[slot, : n_gen[slot]]
+            res[rid] = toks[toks != stop].astype(np.int32)
+        return res
+
+    def generate(self, requests: Sequence[T3Request], seed: int = 0,
+                 timeout_s: float = 900.0) -> list[T3Result]:
+        """Engine-API adapter: with the background loop running, submit all
+        and block; otherwise drive the lockstep rounds inline (run())."""
+        for i, r in enumerate(requests):
+            if r.seed is None:
+                r.seed = seed + i
+        if not self.loop_running:
+            return self.run(requests, timeout_s=timeout_s)
+        pairs = [self.submit_with_event(r) for r in requests]
+        t0 = time.time()
+        out = []
+        for rid, ev in pairs:
+            remaining = timeout_s - (time.time() - t0)
+            if not ev.wait(max(remaining, 0.0)):
+                raise TimeoutError(f"request {rid} timed out")
+            out.append(self.result(rid))
+        return out

@@ -403,6 +403,17 @@ def make_engine(config: Config, params: dict, *, compute_dtype=jnp.bfloat16,
     implicitly from vLLM, reference `tts.py:445-465`), "paged" additionally
     swaps the slotted cache for the paged pool + Pallas attention."""
     kind = config.engine.engine_kind
+    # multi-process job (jax.distributed initialized by server startup or a
+    # pod launcher): serve through the lockstep multi-host driver — each
+    # host keeps its own queue, the SPMD engine is global (SURVEY §5.8)
+    if jax.process_count() > 1 and kind in ("continuous", "dense"):
+        from .multihost import MultiHostContinuousEngine
+
+        eng = MultiHostContinuousEngine(config, params,
+                                        compute_dtype=compute_dtype,
+                                        mesh=mesh)
+        eng.start()
+        return eng
     if kind == "paged":
         from .paged import PagedContinuousEngine
 

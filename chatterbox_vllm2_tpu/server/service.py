@@ -170,6 +170,8 @@ class TTSService:
         self._stop.set()
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        if hasattr(self.model, "shutdown"):
+            self.model.shutdown()
         # fail anything still queued so no waiter hangs on an unset event
         while True:
             try:

@@ -410,6 +410,14 @@ class ChatterboxTTS:
     # generation
     # ------------------------------------------------------------------ #
 
+    def shutdown(self) -> None:
+        """Release serving resources (the reference's `ChatterboxTTS.shutdown`
+        analog — its engine teardown is vLLM's, ours is our own).  Stops the
+        multi-host lockstep loop when one is running (coordinated with the
+        peer hosts via the stop bit)."""
+        if hasattr(self.engine, "stop"):
+            self.engine.stop()
+
     def generate(
         self,
         prompts: Union[str, Sequence[str]],
@@ -574,19 +582,39 @@ class ChatterboxTTS:
             repetition_penalty=repetition_penalty, max_tokens=max_tokens,
             cfg_scale=cfg_scale,
         )
-        rids = []
-        for i, seg in enumerate(segments):
+        def seg_request(i, seg):
             ids = np.asarray(
                 self.tokenizer.encode(
                     punc_norm(seg),
                     language_id if self.variant == "multilingual" else None),
                 np.int32)
-            rids.append(self.engine.submit(T3Request(
-                text_ids=ids, cond_emb=cond_emb, sampling=sampling,
-                max_new_tokens=max_tokens, seed=seed + i)))
+            return T3Request(text_ids=ids, cond_emb=cond_emb,
+                             sampling=sampling, max_new_tokens=max_tokens,
+                             seed=seed + i)
+
+        vocab = self.config.s3gen.speech_vocab_size
+        if getattr(self.engine, "loop_running", False):
+            # multi-host: a background lockstep loop owns step(); submit all
+            # segments and wait per-segment completion events in order
+            handles = [self.engine.submit_with_event(seg_request(i, seg))
+                       for i, seg in enumerate(segments)]
+            for k, (rid, ev) in enumerate(handles):
+                ev.wait()
+                res = self.engine.result(rid)
+                toks = res.tokens
+                toks = toks[(toks >= 0) & (toks < vocab)]
+                if len(toks):
+                    yield self.s3gen.inference(toks, conds.ref,
+                                               n_timesteps=diffusion_steps,
+                                               seed=seed + k)
+                else:
+                    yield np.zeros(0, np.float32)
+            return
+
+        rids = [self.engine.submit(seg_request(i, seg))
+                for i, seg in enumerate(segments)]
 
         ready: dict = {}
-        vocab = self.config.s3gen.speech_vocab_size
         for k, rid in enumerate(rids):
             while rid not in ready:
                 for res in self.engine.step():
@@ -628,9 +656,14 @@ def _generate_stream_tokens(model, prompt: str, **kw):
             punc_norm(prompt),
             language_id if model.variant == "multilingual" else None),
         np.int32)
-    rid = model.engine.submit(T3Request(
+    req = T3Request(
         text_ids=ids, cond_emb=cond_emb, sampling=sampling,
-        max_new_tokens=sampling.max_tokens, seed=seed))
+        max_new_tokens=sampling.max_tokens, seed=seed)
+    loop_running = getattr(model.engine, "loop_running", False)
+    if loop_running:
+        rid, done_ev = model.engine.submit_with_event(req)
+    else:
+        rid = model.engine.submit(req)
 
     voc = StreamingVocoder(
         model.s3gen, conds.ref,
@@ -640,9 +673,15 @@ def _generate_stream_tokens(model, prompt: str, **kw):
     emitted = 0
     final = None
     while final is None:
-        for res in model.engine.step():
-            if res.request_id == rid:
-                final = res
+        if loop_running:
+            # the multi-host background loop owns step(); poll its cached
+            # partials and the completion event
+            if done_ev.wait(0.02):
+                final = model.engine.result(rid)
+        else:
+            for res in model.engine.step():
+                if res.request_id == rid:
+                    final = res
         if final is None:
             part = model.engine.partial_tokens().get(rid)
             if part is not None:

@@ -131,6 +131,11 @@ def worker(ref_path: str) -> None:
         _time.sleep(0.6)
     res2 = eng.submit_wait(again[0], timeout_s=300)
     assert len(res2.tokens) > 0 or res2.finished_by_stop
+    # the serving adapter the TTSService path uses (generate -> events)
+    more = [_dc.replace(reqs[i], request_id=None, seed=850 + i)
+            for i in LOADS[eng.host]]
+    res3 = eng.generate(more, timeout_s=300)
+    assert len(res3) == len(more)
     eng.stop()
     print(f"worker {eng.host} staggered submit_wait OK "
           f"({len(res2.tokens)} tokens)", flush=True)
