@@ -18,7 +18,10 @@ but per-stream halves to 2x realtime), BENCH_TOKENS (default 256),
 BENCH_MAX_LEN (default 384), BENCH_QUANT (none|int8|int4_awq, default int8;
 int4_awq measured a statistical tie with int8 in round 4), BENCH_ENGINE
 (dense|paged), BENCH_BLOCK / BENCH_KV_DTYPE (paged page size / page dtype),
-BENCH_STEPS (decode steps per dispatch).  See BENCH_NOTES.md.
+BENCH_STEPS (decode steps per dispatch), BENCH_E2E (default 1: S3Gen RTF +
+streaming TTFA), BENCH_QUALITY (default 1: fixed-seed quantization-quality
+block — T3 token agreement + prefill logit fidelity + S3Gen int8 waveform
+deviation).  See BENCH_NOTES.md.
 """
 
 import json

@@ -133,6 +133,24 @@ def alignment_analyzer_logits(
 LogitProcessor = Callable[[jnp.ndarray, "DecodeState"], jnp.ndarray]
 
 
+def make_flags_fetch():
+    """Jitted packed post-chunk flag fetch shared by the continuous engines:
+    one [3, B] int32 transfer (done, n_generated, stopped) instead of three
+    device round trips."""
+    return jax.jit(lambda st: jnp.stack(
+        [st.done.astype(jnp.int32), st.n_generated,
+         st.stopped.astype(jnp.int32)]))
+
+
+def collect_partial_tokens(active: dict, n_gen, out, stop_token: int) -> dict:
+    """Shared partial_tokens body: tokens-so-far per active request id."""
+    res = {}
+    for slot, (rid, _req, _t0) in active.items():
+        toks = out[slot, : n_gen[slot]]
+        res[rid] = toks[toks != stop_token].astype(np.int32)
+    return res
+
+
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 

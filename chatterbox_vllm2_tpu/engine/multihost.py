@@ -82,6 +82,7 @@ class MultiHostContinuousEngine:
 
         self._pending: deque = deque()
         self._results: dict[str, T3Result] = {}
+        self._alias: dict[str, str] = {}     # wire rid -> caller request_id
         self._seq = itertools.count()
         self._seed = itertools.count(1)
         self._done_host = np.ones((self.B,), bool)
@@ -89,7 +90,13 @@ class MultiHostContinuousEngine:
     # ------------------------------------------------------------------ #
 
     def submit(self, req: T3Request) -> str:
-        rid = req.request_id or f"h{self.host}-{next(self._seq)}"
+        # the WIRE id is always engine-generated (the proposal record packs
+        # only its integer sequence number); a caller-supplied request_id is
+        # preserved as an alias and restored on the caller's copy of the
+        # result at harvest
+        rid = f"h{self.host}-{next(self._seq)}"
+        if req.request_id:
+            self._alias[rid] = req.request_id
         req.request_id = rid
         if req.seed is None:
             # assigned now so the proposal record is complete and every host
@@ -148,7 +155,6 @@ class MultiHostContinuousEngine:
         # aborts the peer's gloo/ICI transfer)
         stop_bit = 2 if getattr(self, "_stop_evt", None) is not None             and self._stop_evt.is_set() else 0
         work = np.asarray([busy | stop_bit], np.int64)
-        self._proposed = {rid: req for _, rid, req in taken}
         return ints, floats, conds, work
 
     def _unpack(self, host: int, ints, floats, conds):
@@ -222,6 +228,9 @@ class MultiHostContinuousEngine:
             for rid in list(inner._results):
                 res = inner._results.pop(rid)
                 if rid.startswith(f"h{self.host}-"):
+                    alias = self._alias.pop(rid, None)
+                    if alias is not None:
+                        res.request_id = alias
                     self._results[rid] = res
 
         flags = np.asarray(g_work).astype(np.int64)
@@ -328,18 +337,16 @@ class MultiHostContinuousEngine:
     def partial_tokens(self) -> dict:
         """Tokens-so-far for MY active requests, from the flags cached at
         the last lockstep round (no extra device traffic)."""
+        from .engine import collect_partial_tokens
+
         out = getattr(self, "_last_out", None)
         n_gen = getattr(self, "_last_n_gen", None)
         if out is None:
             return {}
-        stop = self.config.t3.stop_speech_token
-        res = {}
-        for slot, (rid, _req, _t0) in list(self.inner._active.items()):
-            if not rid.startswith(f"h{self.host}-"):
-                continue
-            toks = out[slot, : n_gen[slot]]
-            res[rid] = toks[toks != stop].astype(np.int32)
-        return res
+        mine = {s: v for s, v in self.inner._active.items()
+                if v[0].startswith(f"h{self.host}-")}
+        return collect_partial_tokens(mine, n_gen, out,
+                                      self.config.t3.stop_speech_token)
 
     def generate(self, requests: Sequence[T3Request], seed: int = 0,
                  timeout_s: float = 900.0) -> list[T3Result]:

@@ -68,7 +68,8 @@ from ..ops.paged_attention import (
 from ..ops.quant_matmul import quant_einsum
 from ..ops.rotary import apply_rope
 from ..ops.sampling import SamplingState, make_keys, sample, split_keys
-from .engine import T3Request, T3Result, alignment_analyzer_logits
+from .engine import (T3Request, T3Result, alignment_analyzer_logits,
+                     collect_partial_tokens, make_flags_fetch)
 
 
 class PagedKV(NamedTuple):
@@ -83,15 +84,17 @@ class PagedKV(NamedTuple):
     tables: jnp.ndarray
 
 
-def _attend_and_append(q, k, v, paged: PagedKV, lengths, *, layer: int,
-                       block_size: int, sm_scale: float, interpret: bool):
+def _attend_and_append(q, k, v, paged: PagedKV, lengths, active, *,
+                       layer: int, block_size: int, sm_scale: float,
+                       interpret: bool):
     """Append the new token's K/V and attend over the paged cache for one
-    layer.  q/k/v: [S, H, D] post-RoPE.  Returns ([S, H, D] f32, new pools).
-    All page-id indexing happens here (kept shard-local under a mesh)."""
+    layer.  q/k/v: [S, H, D] post-RoPE; active [B] routes done/preempted
+    pairs' writes to the reserved trash page.  Returns ([S, H, D] f32, new
+    pools).  All page-id indexing happens here (shard-local under a mesh)."""
     k_pages, v_pages, k_scl, v_scl = paged.k, paged.v, paged.k_scales, paged.v_scales
     k_pages, v_pages, k_scl, v_scl = append_layer_to_pages(
         k_pages, v_pages, k, v, layer, paged.tables, lengths,
-        block_size=block_size, k_scales=k_scl, v_scales=v_scl)
+        block_size=block_size, k_scales=k_scl, v_scales=v_scl, active=active)
     out = paged_attention_pairs(
         pack_pairs(q), k_pages, v_pages, paged.tables, lengths + 1,
         layer, block_size=block_size, sm_scale=sm_scale,
@@ -106,6 +109,7 @@ def paged_backbone_decode(
     x: jnp.ndarray,            # [S, hidden]
     paged: PagedKV,
     lengths: jnp.ndarray,      # [B] int32 — tokens already in cache per pair
+    active: jnp.ndarray,       # [B] bool — False routes appends to the trash page
     rope_cos, rope_sin,
     *,
     block_size: int,
@@ -132,15 +136,15 @@ def paged_backbone_decode(
             None if paged.v_scales is None else scl_spec,
             P("data", None))
 
-        def attend(q, k, v, paged, lengths, **kw):
+        def attend(q, k, v, paged, lengths, active, **kw):
             fn = functools.partial(_attend_and_append, **kw)
             return shard_map(
                 fn, mesh=mesh,
                 in_specs=(P("data", "model", None),) * 3
-                + (kv_specs, P("data")),
+                + (kv_specs, P("data"), P("data")),
                 out_specs=(P("data", "model", None), kv_specs),
                 check_vma=False,
-            )(q, k, v, paged, lengths)
+            )(q, k, v, paged, lengths, active)
 
     for l in range(cfg.num_layers):
         lp = _layer_params(params, l)
@@ -150,7 +154,7 @@ def paged_backbone_decode(
         q = apply_rope(q[:, None], rope_cos, rope_sin, pos)[:, 0]
         k = apply_rope(k[:, None], rope_cos, rope_sin, pos)[:, 0]
         out, paged = attend(
-            q, k, v, paged, lengths, layer=l, block_size=block_size,
+            q, k, v, paged, lengths, active, layer=l, block_size=block_size,
             sm_scale=hd ** -0.5, interpret=interpret)
         out = out.reshape(S, nh * hd).astype(x.dtype)
         x = resid + quant_einsum(out, lp["o_proj"])
@@ -244,10 +248,14 @@ class PagedContinuousEngine:
                 f"max_batch_size {self.B} not divisible by data shards "
                 f"{self.n_shards}")
         self.B_local = self.B // self.n_shards
-        if mesh is not None and self.t3cfg.num_heads % mesh.shape["model"]:
-            raise ValueError("num_heads not divisible by 'model' axis")
+        if mesh is not None and (
+                self.t3cfg.num_heads % mesh.shape["model"]
+                or self.t3cfg.num_kv_heads % mesh.shape["model"]):
+            raise ValueError(
+                "num_heads and num_kv_heads must divide the 'model' axis "
+                "(the page pools shard over kv heads)")
         total = num_pages or self._size_pool()
-        self.P_local = max(total // self.n_shards, 2)
+        self.P_local = max(total // self.n_shards, 3)   # >= 2 usable + trash
         self.P = self.P_local * self.n_shards
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
@@ -263,8 +271,13 @@ class PagedContinuousEngine:
             params = shard_engine_params(params, mesh)
         self.params = params
 
-        # one allocator per data shard; table entries are shard-local ids
-        self.allocs = [make_block_allocator(self.P_local, self.B_local, self.NB)
+        # one allocator per data shard; table entries are shard-local ids.
+        # The LAST local page (id P_local-1) is never allocated: it is the
+        # write-off target for done/preempted pairs' per-step appends (a
+        # released table row would otherwise clamp to page 0 and corrupt a
+        # live request's first page).
+        self.allocs = [make_block_allocator(self.P_local - 1, self.B_local,
+                                            self.NB)
                        for _ in range(self.n_shards)]
         cos, sin = make_rope_tables(self.t3cfg, self.max_len)
         self._rope = (cos, sin)
@@ -273,9 +286,8 @@ class PagedContinuousEngine:
             self._decode_chunk_impl,
             static_argnames=("num_steps",), donate_argnums=(1,))
         # one packed [3, B] transfer per chunk instead of three device_gets
-        self._flags = jax.jit(lambda st: jnp.stack(
-            [st.done.astype(jnp.int32), st.n_generated,
-             st.stopped.astype(jnp.int32)]))
+        # (each get is a host round trip; VERDICT r4 item 8)
+        self._flags = make_flags_fetch()
         self._done_cache = np.ones((self.B,), bool)   # all slots free
         self._prefill_pair = jax.jit(self._prefill_pair_impl)
         self._admit = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3, 4))
@@ -332,9 +344,14 @@ class PagedContinuousEngine:
         floor = max(2 * self.NB, 4)
         cap = self.B * self.NB                      # dense equivalent
         util = float(os.environ.get("CHATTERBOX_HBM_UTILIZATION", 0.85))
+        # a mesh splits every page over (data x model) devices, so the
+        # whole mesh's HBM funds the pool, not one device's
+        n_dev = 1 if self.mesh is None else int(np.prod(
+            list(self.mesh.shape.values())))
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
-            budget = stats["bytes_limit"] * util - stats["bytes_in_use"]
+            budget = (stats["bytes_limit"] * util
+                      - stats["bytes_in_use"]) * n_dev
             if budget <= 0:
                 return floor
             return int(min(max(budget // page_bytes, floor), cap))
@@ -476,7 +493,8 @@ class PagedContinuousEngine:
         embeds = build_decode_embeds(params, cfg, tokens_s, pos_s,
                                      self.compute_dtype)
         hidden, paged = paged_backbone_decode(
-            params, cfg, embeds, state.paged, state.lengths, *self._rope,
+            params, cfg, embeds, state.paged, state.lengths, ~state.done,
+            *self._rope,
             block_size=self.bs, interpret=self.interpret, mesh=self.mesh)
         logits = cfg_combine(
             speech_logits(params, hidden, cfg.speech_vocab_size),
@@ -748,9 +766,5 @@ class PagedContinuousEngine:
             return {}
         n_gen = np.asarray(jax.device_get(self._state.n_generated))
         out = np.asarray(jax.device_get(self._state.out_tokens))
-        stop = self.t3cfg.stop_speech_token
-        res = {}
-        for slot, (rid, _req, _t0) in self._active.items():
-            toks = out[slot, : n_gen[slot]]
-            res[rid] = toks[toks != stop].astype(np.int32)
-        return res
+        return collect_partial_tokens(self._active, n_gen, out,
+                                      self.t3cfg.stop_speech_token)

@@ -354,6 +354,7 @@ def append_layer_to_pages(
     block_size: int,
     k_scales: jnp.ndarray | None = None,   # [L, P, H, bs]
     v_scales: jnp.ndarray | None = None,
+    active: jnp.ndarray | None = None,     # [B] bool
 ):
     """Write one new token's packed pair K/V into its page (in place on the
     donated pool).  With scale buffers present the pages are INT8.
@@ -363,9 +364,17 @@ def append_layer_to_pages(
     loop and then inserts a FULL-POOL layout-conversion copy before every
     Pallas call (measured: 2x30 pool copies per step, ~100 ms at bench
     shapes).  DUS carries no layout preference, so the pool stays in the
-    kernel's default layout."""
+    kernel's default layout.
+
+    `active` [B] bool (optional): pairs that are done/preempted write to the
+    pool's LAST page instead of their (stale or released-and-reused) table
+    entry — the engine reserves that page as a write-off target, because a
+    released row clamps to page 0 and would otherwise corrupt a live
+    request's first page every step."""
     B = positions.shape[0]
     page = block_tables[jnp.arange(B), positions // block_size]   # [B]
+    if active is not None:
+        page = jnp.where(active, page, k_pages.shape[1] - 1)
     off = positions % block_size
     kp = pack_pairs(k_new)                                        # [B, H, 2D]
     vp = pack_pairs(v_new)

@@ -207,9 +207,14 @@ class TTSService:
         return jobs
 
     def _run(self) -> None:
-        # Continuous engines (submit/step) get the streaming loop: requests
+        # Multi-host engines own step() on their background lockstep loop —
+        # the worker only submits and harvests completion events.  Other
+        # continuous engines (submit/step) get the stepping loop: requests
         # join the device batch mid-decode of others.  The dense barrier
         # engine falls back to micro-batches.
+        if getattr(self.model.engine, "loop_running", False):
+            self._run_multihost()
+            return
         if hasattr(self.model.engine, "submit"):
             self._run_continuous()
             return
@@ -316,6 +321,45 @@ class TTSService:
                 j.error = e
             finally:
                 j.done.set()
+
+    def _run_multihost(self) -> None:
+        """Worker loop over a MultiHostContinuousEngine: submit jobs with
+        completion events and harvest as the engine's own lockstep loop
+        finishes them (never calls step() — that thread owns it)."""
+        engine = self.model.engine
+        inflight: dict[str, tuple[_Job, object, object]] = {}
+        while not self._stop.is_set():
+            block = not inflight
+            while True:
+                try:
+                    job = (self._queue.get(timeout=0.25) if block
+                           else self._queue.get_nowait())
+                except queue.Empty:
+                    break
+                if job is None:
+                    if self._stop.is_set():
+                        return
+                    break
+                block = False
+                try:
+                    req, conds = self._prep_job(job)
+                    rid, ev = engine.submit_with_event(req)
+                    inflight[rid] = (job, conds, ev)
+                except Exception as e:   # per-job prep failure
+                    job.error = e
+                    job.done.set()
+            finished = [(rid, j, conds) for rid, (j, conds, ev)
+                        in inflight.items() if ev.is_set()]
+            for rid, j, conds in finished:
+                inflight.pop(rid)
+                try:
+                    res = engine.result(rid)
+                    self._finish_jobs([(j, conds, res, res.t3_time_s)])
+                except Exception as e:
+                    j.error = e
+                    j.done.set()
+            if inflight and not finished:
+                time.sleep(0.01)
 
     def _run_continuous(self) -> None:
         engine = self.model.engine

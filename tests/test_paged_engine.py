@@ -89,7 +89,9 @@ def test_preemption_on_pool_exhaustion(setup):
     assert len(results) == 3
     for r in results:
         assert len(r.tokens) > 0 or r.finished_by_stop
-    assert paged.allocs[0].num_free == nb + 4     # everything released
+    # everything released (one page of the pool is the reserved write-off
+    # target for done pairs' appends, so usable = num_pages - 1)
+    assert paged.allocs[0].num_free == nb + 3
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4), (2, 1)])
