@@ -141,3 +141,57 @@ def test_sharded_paged_int8(setup):
     for r in results:
         assert np.all(r.tokens >= 0)
         assert np.all(r.tokens < cfg.t3.speech_vocab_size)
+
+
+def test_finished_pair_does_not_corrupt_live_pages(setup):
+    """Regression: a finished pair's per-step appends must not land in live
+    pages.  Released table rows read back as -1 and were clamped to page 0,
+    so a done pair silently overwrote a live request's first page every
+    decode step; appends of done pairs now route to the reserved trash page.
+    Greedy + fixed seeds: the long request's tokens must be identical with
+    and without a short co-batched request that finishes early."""
+    import dataclasses
+
+    cfg, params = setup
+    rng = np.random.RandomState(11)
+    short = T3Request(
+        text_ids=rng.randint(1, cfg.t3.text_vocab_size, 6).astype(np.int32),
+        cond_emb=(rng.randn(cfg.t3.cond_seq_len, cfg.t3.hidden_size) * 0.02
+                  ).astype(np.float32),
+        sampling=SamplingConfig(temperature=0.0, top_p=1.0,
+                                repetition_penalty=1.3),
+        max_new_tokens=3, seed=71)
+    long = T3Request(
+        text_ids=rng.randint(1, cfg.t3.text_vocab_size, 8).astype(np.int32),
+        cond_emb=(rng.randn(cfg.t3.cond_seq_len, cfg.t3.hidden_size) * 0.02
+                  ).astype(np.float32),
+        sampling=SamplingConfig(temperature=0.0, top_p=1.0,
+                                repetition_penalty=1.3),
+        max_new_tokens=24, seed=72)
+
+    # LONG submits first so page 0 is its own first page: after SHORT
+    # finishes and its table row is released (-1 -> clamped to page 0), its
+    # per-step stale appends land at long's page 0, inside long's VALID
+    # token region — the exact corruption the trash page prevents
+    nb = -(-64 // 8)
+    alone = PagedContinuousEngine(cfg, params, compute_dtype=jnp.float32,
+                                  num_pages=2 * nb + 3)
+    ref = alone.run([dataclasses.replace(long)])[0]
+
+    both = PagedContinuousEngine(cfg, params, compute_dtype=jnp.float32,
+                                 num_pages=2 * nb + 3)
+    res = both.run([dataclasses.replace(long), dataclasses.replace(short)])
+    got = res[0]
+    np.testing.assert_array_equal(
+        got.tokens, ref.tokens,
+        err_msg="finished co-batched request corrupted the live request's "
+                "pages (stale appends)")
+    # white-box: long owns page 0 in BOTH runs (same admission order), and
+    # its prefill rows there must be bit-identical — the stale appends of
+    # the finished short request wrote into exactly this page before the
+    # trash-page fix
+    np.testing.assert_array_equal(
+        np.asarray(both._state.paged.k[:, 0]),
+        np.asarray(alone._state.paged.k[:, 0]),
+        err_msg="long request's page 0 differs with a finished co-batched "
+                "request — stale appends corrupted it")
