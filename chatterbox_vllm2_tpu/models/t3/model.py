@@ -176,23 +176,66 @@ def _mlp(lp: dict, y: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# above this many prefill tokens, attention runs blockwise over query chunks
+# (full [S, H, T, T] f32 scores at the 2048-token bucket would be ~8.6 GB)
+PREFILL_BLOCKWISE_THRESHOLD = 512
+PREFILL_QUERY_BLOCK = 256
+
+
+def _prefill_attention(q, k, v, mask, scale):
+    """Causal masked softmax attention for prefill.  q/k/v [S, T, H, D],
+    mask [S, T(q), T(k)] bool -> [S, T, H, D] f32-accumulated.
+
+    Small T: one fused einsum (fastest, scores fit trivially).  Large T:
+    lax.scan over query blocks, so peak score memory is O(T * block) instead
+    of O(T^2) — the pure-XLA flash-style formulation that keeps the
+    reference's max_text_tokens=2048 bucket servable (full scores there
+    would be ~8.6 GB f32)."""
+    S, T, H, D = q.shape
+    neg_inf = jnp.asarray(-1e30, jnp.float32)
+    if T <= PREFILL_BLOCKWISE_THRESHOLD:
+        scores = jnp.einsum("sthd,smhd->shtm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[:, None, :, :], scores, neg_inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("shtm,smhd->sthd", probs.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+
+    bq = PREFILL_QUERY_BLOCK
+    nb = -(-T // bq)
+    pad = nb * bq - T
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    maskp = jnp.pad(mask, ((0, 0), (0, pad), (0, 0)))
+    # scan xs lead with the block axis
+    q_blocks = qp.reshape(S, nb, bq, H, D).transpose(1, 0, 2, 3, 4)
+    m_blocks = maskp.reshape(S, nb, bq, T).transpose(1, 0, 2, 3)
+
+    def body(_, xs):
+        qb, mb = xs                                  # [S, bq, H, D], [S, bq, T]
+        scores = jnp.einsum("sthd,smhd->shtm", qb, k,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mb[:, None, :, :], scores, neg_inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ob = jnp.einsum("shtm,smhd->sthd", probs.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+        return None, ob
+
+    _, out = jax.lax.scan(body, None, (q_blocks, m_blocks))
+    out = out.transpose(1, 0, 2, 3, 4).reshape(S, nb * bq, H, D)
+    return out[:, :T]
+
+
 def _prefill_layer(lp, x, mask, positions, rope_cos, rope_sin, cfg, k_out, v_out):
     """One prefill layer.  Returns (x, k [S,H,T,D], v [S,H,T,D])."""
     S, T, _ = x.shape
     scale = cfg.head_dim ** -0.5
-    neg_inf = jnp.asarray(-1e30, jnp.float32)
     resid = x
     y = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
     q, k, v = _qkv(lp, y, cfg)                      # [S, T, nh, hd]
     q = apply_rope(q, rope_cos, rope_sin, positions)
     k = apply_rope(k, rope_cos, rope_sin, positions)
 
-    scores = jnp.einsum("sthd,smhd->shtm", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    scores = jnp.where(mask[:, None, :, :], scores, neg_inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("shtm,smhd->sthd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = _prefill_attention(q, k, v, mask, scale).astype(x.dtype)
     out = out.reshape(S, T, cfg.num_heads * cfg.head_dim)
     x = resid + quant_einsum(out, lp["o_proj"])
 

@@ -100,10 +100,15 @@ def worker(ref_path: str) -> None:
     import jax.numpy as jnp
 
     from chatterbox_vllm2_tpu.engine.multihost import MultiHostContinuousEngine
+    from chatterbox_vllm2_tpu.engine.scheduler import make_engine
 
     config, params = _config_and_params()
-    eng = MultiHostContinuousEngine(config, params,
-                                    compute_dtype=jnp.float32)
+    # the server path: make_engine auto-selects (and starts) the multi-host
+    # driver in multi-process jobs
+    eng = make_engine(config, params, compute_dtype=jnp.float32)
+    assert isinstance(eng, MultiHostContinuousEngine), type(eng)
+    assert eng.loop_running
+    eng.stop()          # phase 1 drives the rounds inline via run()
     assert (eng.lo, eng.hi) == ((0, 2) if eng.host == 0 else (2, 4)), \
         (eng.host, eng.lo, eng.hi)
     reqs = _requests(config.t3)

@@ -193,3 +193,55 @@ def test_dense_engine_occupancy_bucket_parity():
     a = run((1, 2))[0]
     b = run(())[0]
     np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_blockwise_prefill_attention_matches_dense():
+    """The query-blockwise path (T > threshold) must equal the one-einsum
+    path bit-for-tolerance on the same inputs (long-text buckets)."""
+    import chatterbox_vllm2_tpu.models.t3.model as M
+
+    rng = np.random.RandomState(3)
+    S, T, H, D = 2, 600, 4, 16          # T > PREFILL_BLOCKWISE_THRESHOLD
+    q = jnp.asarray(rng.randn(S, T, H, D), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(S, T, H, D), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(S, T, H, D), jnp.float32) * 0.3
+    lens = np.array([T, 431], np.int32)
+    t_idx = np.arange(T)
+    mask = jnp.asarray((t_idx[None, None, :] <= t_idx[None, :, None])
+                       & (t_idx[None, None, :] < lens[:, None, None]))
+
+    blockwise = M._prefill_attention(q, k, v, mask, D ** -0.5)
+
+    thr = M.PREFILL_BLOCKWISE_THRESHOLD
+    try:
+        M.PREFILL_BLOCKWISE_THRESHOLD = 10 ** 9     # force the dense path
+        dense = M._prefill_attention(q, k, v, mask, D ** -0.5)
+    finally:
+        M.PREFILL_BLOCKWISE_THRESHOLD = thr
+    np.testing.assert_allclose(np.asarray(blockwise), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_long_text_prefill_endtoend():
+    """A >threshold prefill runs through t3_prefill and produces logits plus
+    a correctly-written KV cache (the 2048-token bucket's servability)."""
+    from chatterbox_vllm2_tpu.config import T3Config
+    from chatterbox_vllm2_tpu.models.t3.model import (
+        KVCache, init_t3_params, make_rope_tables, t3_prefill)
+
+    t3 = T3Config.tiny()
+    params = init_t3_params(jax.random.PRNGKey(0), t3, jnp.float32)
+    S, T = 2, 544                        # > threshold, not a block multiple
+    rng = np.random.RandomState(4)
+    embeds = jnp.asarray(rng.randn(S, T, t3.hidden_size), jnp.float32) * 0.02
+    positions = jnp.broadcast_to(jnp.arange(T), (S, T))
+    prefill_len = jnp.asarray([T, T - 37], jnp.int32)
+    cos, sin = make_rope_tables(t3, T + 8)
+    kv = KVCache.zeros(t3, S, T + 8, jnp.float32)
+    hidden, kv = t3_prefill(params, t3, embeds, positions, prefill_len, kv,
+                            cos, sin)
+    assert hidden.shape == (S, T, t3.hidden_size)
+    assert np.all(np.isfinite(np.asarray(hidden)))
+    # K rows past a stream's true length exist (they're masked at read time);
+    # rows within it must be nonzero
+    assert float(jnp.abs(kv.k[:, :, :, : T - 37]).sum()) > 0
