@@ -354,12 +354,15 @@ class Config:
             max_batch_size=int(os.environ.get("CHATTERBOX_MAX_BATCH_SIZE", 8)),
             max_model_len=int(os.environ.get("CHATTERBOX_MAX_MODEL_LEN", 1024)),
             kv_cache_dtype=os.environ.get("CHATTERBOX_KV_CACHE_DTYPE", "bfloat16"),
+            kv_block_size=int(os.environ.get("CHATTERBOX_KV_BLOCK_SIZE", 128)),
             quant_mode=os.environ.get("CHATTERBOX_QUANT_MODE", "none"),
             quantize_s3gen=os.environ.get(
                 "CHATTERBOX_QUANTIZE_S3GEN", "").lower() in ("1", "true"),
             quantize_voice_encoder=os.environ.get(
                 "CHATTERBOX_QUANTIZE_VOICE_ENCODER", "").lower() in ("1", "true"),
             engine_kind=os.environ.get("CHATTERBOX_ENGINE", "continuous"),
+            decode_steps_per_dispatch=int(os.environ.get(
+                "CHATTERBOX_DECODE_STEPS", 32)),
         )
         srv = ServerConfig(
             host=os.environ.get("CHATTERBOX_HOST", "0.0.0.0"),

@@ -400,7 +400,14 @@ def make_engine(config: Config, params: dict, *, compute_dtype=jnp.bfloat16,
     # multi-process job (jax.distributed initialized by server startup or a
     # pod launcher): serve through the lockstep multi-host driver — each
     # host keeps its own queue, the SPMD engine is global (SURVEY §5.8)
-    if jax.process_count() > 1 and kind in ("continuous", "dense"):
+    if jax.process_count() > 1:
+        if kind == "paged":
+            raise NotImplementedError(
+                "engine_kind='paged' is single-process for now: the paged "
+                "host scheduler device_gets shard-local state.  Multi-host "
+                "serving uses the dense-cache continuous engine "
+                "(engine_kind 'continuous'); single-process multi-chip "
+                "paged serving works via CHATTERBOX_MESH.")
         from .multihost import MultiHostContinuousEngine
 
         eng = MultiHostContinuousEngine(config, params,

@@ -27,7 +27,11 @@ OPTIONS:
     --throughput     v5e/v6e dedicated: batch 16, len 1024, INT4 AWQ weights
     --bf16           No quantization (debug / quality baseline)
     --mesh DxM       Shard serving over a (data, model) device mesh,
-                     e.g. --mesh 2x4 on an 8-chip slice (continuous engine)
+                     e.g. --mesh 2x4 on an 8-chip slice (continuous or
+                     paged engine).  Multi-process pod slices additionally
+                     serve host-local queues in lockstep (engine/multihost;
+                     set CHATTERBOX_COORDINATOR / _NUM_PROCESSES /
+                     _PROCESS_ID per host or rely on TPU pod metadata)
     --model NAME     'multilingual' (default) or 'english'
     --port PORT      Server port (default 8000)
     --host HOST      Bind host (default 0.0.0.0)

@@ -130,3 +130,89 @@ def test_service_survives_step_failure(monkeypatch):
         assert svc.counters()["errors_total"] == 1
     finally:
         svc.shutdown()
+
+
+def test_service_multihost_worker_path():
+    """TTSService routes to the event-based worker when the engine runs a
+    background lockstep loop (never calls step() — that thread owns it).
+    Exercised with a mock engine so it runs single-process."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from chatterbox_vllm2_tpu.engine import T3Result
+    from chatterbox_vllm2_tpu.server import TTSService, VoiceRegistry
+    from chatterbox_vllm2_tpu.server.schema import TTSRequest
+
+    class MockLoopEngine:
+        loop_running = True
+
+        def __init__(self):
+            self.step_calls = 0
+            self._results = {}
+            self._n = 0
+
+        def step(self):            # must never be called by the service
+            self.step_calls += 1
+            return []
+
+        def submit_with_event(self, req):
+            rid = f"h0-{self._n}"; self._n += 1
+            ev = threading.Event()
+            self._results[rid] = T3Result(
+                tokens=np.arange(4, dtype=np.int32) + 1,
+                finished_by_stop=True, request_id=rid, t3_time_s=0.01)
+            # complete "asynchronously" like the lockstep loop would
+            threading.Timer(0.05, ev.set).start()
+            return rid, ev
+
+        def result(self, rid):
+            return self._results.pop(rid)
+
+        def stop(self):
+            pass
+
+    class MockModel:
+        SR = 24000
+        config = type("C", (), {
+            "engine": type("E", (), {"max_batch_size": 2})(),
+            "s3gen": type("S", (), {"speech_vocab_size": 6561})(),
+        })()
+        variant = "english"
+        engine = MockLoopEngine()
+
+        class tokenizer:
+            @staticmethod
+            def encode(text, lang=None):
+                return [1, 2, 3]
+
+        @staticmethod
+        def get_supported_languages():
+            return {"en": "English"}
+
+        @staticmethod
+        def get_audio_conditionals(path):
+            class Conds:
+                ref = None
+            return Conds()
+
+        @staticmethod
+        def update_exaggeration(conds, ex):
+            return np.zeros((34, 8), np.float32)
+
+        class s3gen:
+            @staticmethod
+            def inference_batch(items, n_timesteps=10, seeds=None,
+                                no_trim=False):
+                return [np.zeros(480, np.float32) for _ in items]
+
+    svc = TTSService(MockModel(), VoiceRegistry())
+    try:
+        audio, mt, metrics = svc.synthesize(
+            TTSRequest(input="hi", response_format="pcm"), timeout=10)
+        assert len(audio) > 0
+        assert MockModel.engine.step_calls == 0, \
+            "service must not step() a loop-running engine"
+    finally:
+        svc.shutdown()
