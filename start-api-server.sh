@@ -23,8 +23,11 @@ Start the Chatterbox TTS API server on the local TPU.
 OPTIONS:
     --low-hbm        Small slices / shared chips: batch 4, len 800, INT4 AWQ
                      weights + INT8 KV pages (paged engine)
-    --default        v5e (16 GB HBM): batch 8, len 1024, INT8 weights
-    --throughput     v5e/v6e dedicated: batch 16, len 1024, INT4 AWQ weights
+    --default        v5e (16 GB HBM): batch 8, len 1024, INT8 weights,
+                     paged engine (reads only live pages: measured 6.2x the
+                     dense cache at len-1024 serving, BENCH_NOTES.md)
+    --throughput     v5e/v6e dedicated: batch 16, len 1024, INT4 AWQ
+                     weights, paged engine
     --bf16           No quantization (debug / quality baseline)
     --mesh DxM       Shard serving over a (data, model) device mesh,
                      e.g. --mesh 2x4 on an 8-chip slice (continuous or
@@ -49,7 +52,7 @@ MAX_BATCH_SIZE=8
 MAX_MODEL_LEN=1024
 QUANT_MODE="int8"
 KV_DTYPE="bfloat16"
-ENGINE="continuous"
+ENGINE="paged"
 PORT=8000
 HOST="0.0.0.0"
 
@@ -64,7 +67,8 @@ while [[ $# -gt 0 ]]; do
             shift ;;
         --throughput)
             MAX_BATCH_SIZE=16; MAX_MODEL_LEN=1024; QUANT_MODE="int4_awq"
-            info "Throughput: batch 16, len 1024, INT4 AWQ weights"
+            ENGINE="paged"
+            info "Throughput: batch 16, len 1024, INT4 AWQ weights, paged engine"
             shift ;;
         --bf16)
             QUANT_MODE="none"
