@@ -245,6 +245,7 @@ def main() -> None:
         e2e = bench_e2e(jax, jnp, eng, res, dt, mark)
         print(json.dumps({**line, **e2e}), flush=True)
 
+    quality = {}
     if os.environ.get("BENCH_QUALITY", "1") == "1":   # VERDICT r4 item 5
         # fixed-seed quantization-quality block: T3 token agreement vs bf16
         # for int8/int4_awq + int8-S3Gen waveform deviation (small shapes so
@@ -253,13 +254,61 @@ def main() -> None:
             os.path.abspath(__file__)), "scripts"))
         from bench_quality import (s3gen_waveform_deviation,
                                    t3_logit_fidelity, t3_token_agreement)
-        quality = {"t3": t3_token_agreement(pairs=4, tokens=96)}
+        quality["t3"] = t3_token_agreement(pairs=4, tokens=96)
         mark("quality: t3 agreement done")
         quality["t3_logits"] = t3_logit_fidelity(pairs=4)
         mark("quality: logit fidelity done")
         quality["s3gen_int8"] = s3gen_waveform_deviation()
         mark("quality: s3gen deviation done")
         print(json.dumps({**line, **e2e, "quality": quality}), flush=True)
+
+    # ---- serving-shape phase (the headline: printed LAST) --------------- #
+    # The launcher serves max_model_len 1024 on the paged engine; the
+    # 384-len short bench above is kept for cross-round comparability and
+    # as the fallback headline if this phase is cut short.
+    if (os.environ.get("BENCH_SERVING", "1") == "1" and engine_kind == "dense"
+            and max_len == 384 and B == 16):
+        eng2 = build_engine(jax, jnp, B, 1024, quant, "paged")
+        mark("serving engine built")
+        reqs2 = [
+            T3Request(
+                text_ids=rng.randint(1, 2454, size=40).astype(np.int32),
+                cond_emb=(rng.randn(34, 1024) * 0.02).astype(np.float32),
+                sampling=SamplingConfig(temperature=0.8, top_p=0.8,
+                                        repetition_penalty=2.0),
+                max_new_tokens=600)
+            for _ in range(B)
+        ]
+        eng2.generate(reqs2)
+        mark("serving warm done")
+        t0 = time.time()
+        res2 = eng2.generate(reqs2, seed=7)
+        dt2 = time.time() - t0
+        total2 = sum(len(r.tokens) + (1 if r.finished_by_stop else 0)
+                     for r in res2)
+        tps2 = total2 / dt2
+        steps2 = max(len(r.tokens) + (1 if r.finished_by_stop else 0)
+                     for r in res2)
+        serving = {
+            "metric": "speech_tokens_per_s",
+            "value": round(tps2, 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(tps2 / baseline, 3),
+            "per_stream_tok_s": round(tps2 / B, 1),
+            "t3_rtf": round(dt2 / (total2 / 25.0), 4),
+            "decode_step_ms": round(1000.0 * dt2 / max(steps2, 1), 2),
+            "batch_pairs": B,
+            "max_model_len": 1024,
+            "gen_tokens": 600,
+            "quant_mode": quant,
+            "engine": "paged",
+            **e2e,
+            "bench_384_dense": {"tokens_per_s": line["value"],
+                                "decode_step_ms": line["decode_step_ms"]},
+        }
+        if quality:
+            serving["quality"] = quality
+        print(json.dumps(serving), flush=True)
 
 
 
