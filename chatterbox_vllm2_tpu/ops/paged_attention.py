@@ -85,13 +85,29 @@ def quantize_pair_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 # --------------------------------------------------------------------------- #
 
 
+# DMA pipeline depth: page fetches in flight ahead of the compute position.
+# Each inner iteration's compute is ~us-scale, far below the chip's DMA
+# latency, so a single-chunk lookahead stalls every iteration; measured on
+# the dev chip the kernel was ~1 us x (pairs x pages x layers) of DMA-wait
+# bound before deepening.
+PREFETCH_DEPTH = 3
+# Pages fetched and scored per inner iteration.  Measured on the dev chip:
+# 2 pages/iteration is SLOWER (5.19 vs 4.53 ms/step backbone at serving
+# shapes) — the extra per-iteration DMA (including clamped duplicate tail
+# copies for short pairs) outweighs the halved iteration count, so the
+# per-iteration floor is not amortizable this way.  Kept parameterized with
+# the measured-best value.
+PAGES_PER_FETCH = 1
+
+
 def _attn_kernel(
     # scalar prefetch (SMEM)
     lengths_ref,    # [B] int32 — valid tokens per pair (incl. appended token)
     tables_ref,     # [B*NB] int32 — flattened block tables (per-layer page ids)
     layer_ref,      # [1] int32
-    buf_ref,        # [1] int32 — double-buffer slot (mutable scalar state)
-    init_ref,       # [1] int32 — 1 until the first prefetch has been issued
+    buf_ref,        # [1] int32 — compute slot (mutable scalar state)
+    init_ref,       # [1] int32 — 1 until the pipeline has been primed
+    pf_ref,         # [2] int32 — (pair, page) of the last prefetched chunk
     # inputs
     q_ref,          # [1, H, 2D] bf16 (VMEM block at pair b)
     k_hbm,          # [L*P, H, bs, 2D] (ANY)
@@ -101,11 +117,11 @@ def _attn_kernel(
     # output
     o_ref,          # [1, H, 2D] f32
     # scratch
-    k_buf,          # [2, H, bs, 2D] kv dtype
+    k_buf,          # [NBUF, H, bs, 2D] kv dtype
     v_buf,
-    ks_buf,         # [2, H, bs] f32 or None
+    ks_buf,         # [NBUF, H, bs] f32 or None
     vs_buf,
-    sems,           # DMA sems [2, 2] (slot, k/v)
+    sems,           # DMA sems [NBUF, 2] (slot, k/v)
     m0, l0, m1, l1,  # [H, 1] f32 online-softmax state (cond / uncond)
     acc,            # [H, 2D] f32
     *,
@@ -116,28 +132,44 @@ def _attn_kernel(
 ):
     b = pl.program_id(0)
     B = pl.num_programs(0)
+    NBUF = PREFETCH_DEPTH
     bs = block_size
     H, D2 = acc.shape
     D = D2 // 2
     length = lengths_ref[b]
-    npages = pl.cdiv(length, bs)
+    cs = bs * PAGES_PER_FETCH                 # tokens per fetched chunk
+    nchunks = pl.cdiv(length, cs)
     quantized = ks_buf is not None
 
     def copies(bb, i, slot):
-        fp = layer_ref[0] * pages_per_layer + tables_ref[bb * blocks_per_pair + i]
-        out = [
-            pltpu.make_async_copy(k_hbm.at[fp], k_buf.at[slot],
-                                  sems.at[slot, 0]),
-            pltpu.make_async_copy(v_hbm.at[fp], v_buf.at[slot],
-                                  sems.at[slot, 1]),
-        ]
-        if quantized:
+        # one "chunk" = PAGES_PER_FETCH consecutive logical pages of pair bb
+        # (physical pages are arbitrary: one copy per page, same semaphores);
+        # the trailing page of an odd tail clamps to the last valid page and
+        # its tokens are masked
+        np_bb = pl.cdiv(lengths_ref[jnp.minimum(bb, B - 1)], bs)
+        out = []
+        for p in range(PAGES_PER_FETCH):
+            pg = jnp.minimum(i * PAGES_PER_FETCH + p,
+                             jnp.maximum(np_bb - 1, 0))
+            fp = (layer_ref[0] * pages_per_layer
+                  + tables_ref[bb * blocks_per_pair + pg])
             out += [
-                pltpu.make_async_copy(k_scl_hbm.at[fp], ks_buf.at[slot],
-                                      sems.at[slot, 0]),
-                pltpu.make_async_copy(v_scl_hbm.at[fp], vs_buf.at[slot],
-                                      sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    k_hbm.at[fp], k_buf.at[slot, :, p * bs:(p + 1) * bs, :],
+                    sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    v_hbm.at[fp], v_buf.at[slot, :, p * bs:(p + 1) * bs, :],
+                    sems.at[slot, 1]),
             ]
+            if quantized:
+                out += [
+                    pltpu.make_async_copy(
+                        k_scl_hbm.at[fp], ks_buf.at[slot, :, p * bs:(p + 1) * bs],
+                        sems.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        v_scl_hbm.at[fp], vs_buf.at[slot, :, p * bs:(p + 1) * bs],
+                        sems.at[slot, 1]),
+                ]
         return out
 
     def start(bb, i, slot):
@@ -158,11 +190,29 @@ def _attn_kernel(
                 cur + 1, cur),
             s)
 
-    @pl.when(npages == 0)
+    def advance(bb, ii):
+        """Next (pair, chunk) in flat traversal order; (B, 0) past the end."""
+        nc_b = pl.cdiv(lengths_ref[jnp.minimum(bb, B - 1)], cs)
+        return jax.lax.cond(
+            (bb < B) & (ii + 1 < nc_b), lambda: (bb, ii + 1),
+            lambda: (first_active(jnp.minimum(bb, B - 1) + 1), 0))
+
+    def prefetch_next(slot_for_it):
+        """Advance the prefetch frontier by one chunk into the given slot."""
+        pb, pi = pf_ref[0], pf_ref[1]
+        nb_, ni_ = advance(pb, pi)
+
+        @pl.when(nb_ < B)
+        def _():
+            start(nb_, ni_, slot_for_it)
+            pf_ref[0] = nb_
+            pf_ref[1] = ni_
+
+    @pl.when(nchunks == 0)
     def _():
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
-    @pl.when(npages > 0)
+    @pl.when(nchunks > 0)
     def _():
         m0[...] = jnp.full_like(m0, -1e30)
         m1[...] = jnp.full_like(m1, -1e30)
@@ -172,7 +222,15 @@ def _attn_kernel(
 
         @pl.when(init_ref[0] == 1)
         def _():
-            start(b, 0, buf_ref[0])
+            # prime the pipeline with positions 0..NBUF-2 (slots 0..NBUF-2);
+            # each body iteration then issues position f+NBUF-1 into the slot
+            # retired at iteration f-1, so no slot is overwritten in flight
+            start(b, 0, 0)
+            pf_ref[0] = b
+            pf_ref[1] = 0
+            buf_ref[0] = 0
+            for d in range(1, NBUF - 1):
+                prefetch_next(d)
             init_ref[0] = 0
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (H, D2), 1)
@@ -186,16 +244,10 @@ def _attn_kernel(
 
         def body(i, _):
             slot = buf_ref[0]
-            nb_, ni_ = jax.lax.cond(
-                i + 1 < npages, lambda: (b, i + 1),
-                lambda: (first_active(b + 1), 0))
-
-            @pl.when(nb_ < B)
-            def _():
-                start(nb_, ni_, 1 - slot)
-                buf_ref[0] = 1 - slot
-
+            # keep NBUF-1 chunks in flight ahead of the compute position
+            prefetch_next((slot + NBUF - 1) % NBUF)
             wait(slot)
+            buf_ref[0] = (slot + 1) % NBUF
             k = k_buf[slot]
             v = v_buf[slot]
             if quantized:
@@ -213,7 +265,7 @@ def _attn_kernel(
                     preferred_element_type=jnp.float32,
                 )[:, 0, :] * scale                           # [H, bs]
                 valid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                         + i * bs) < length
+                         + i * cs) < length
                 return jnp.where(valid, s, -1e30)
 
             def online(s, m_ref_, l_ref_):
@@ -245,7 +297,7 @@ def _attn_kernel(
                                                          pv(p1))
             return 0
 
-        jax.lax.fori_loop(0, npages, body, 0)
+        jax.lax.fori_loop(0, nchunks, body, 0)
         l_full = jnp.where(lane < D, l0[...], l1[...])
         o_ref[0] = acc[...] / jnp.maximum(l_full, 1e-30)
 
@@ -289,18 +341,20 @@ def paged_attention_pairs(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     args = [q.astype(jnp.bfloat16), flat(k_pages), flat(v_pages)]
+    NBUF = PREFETCH_DEPTH
+    CW = block_size * PAGES_PER_FETCH          # chunk width (tokens)
     scratch = [
-        pltpu.VMEM((2, H, block_size, D2), kv_dtype),
-        pltpu.VMEM((2, H, block_size, D2), kv_dtype),
+        pltpu.VMEM((NBUF, H, CW, D2), kv_dtype),
+        pltpu.VMEM((NBUF, H, CW, D2), kv_dtype),
     ]
     if quantized:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY),
                      pl.BlockSpec(memory_space=pl.ANY)]
         args += [flat(k_scales), flat(v_scales)]
-        scratch += [pltpu.VMEM((2, H, block_size), jnp.float32),
-                    pltpu.VMEM((2, H, block_size), jnp.float32)]
+        scratch += [pltpu.VMEM((NBUF, H, CW), jnp.float32),
+                    pltpu.VMEM((NBUF, H, CW), jnp.float32)]
     scratch += [
-        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((NBUF, 2)),
         pltpu.VMEM((H, 1), jnp.float32),   # m0
         pltpu.VMEM((H, 1), jnp.float32),   # l0
         pltpu.VMEM((H, 1), jnp.float32),   # m1
@@ -309,7 +363,7 @@ def paged_attention_pairs(
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, D2), lambda b, *_: (b, 0, 0),
@@ -325,15 +379,16 @@ def paged_attention_pairs(
         interpret=interpret,
     )(lengths, block_tables.reshape(-1),
       jnp.asarray(layer, jnp.int32).reshape(1),
-      jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32), *args)
+      jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+      jnp.zeros((2,), jnp.int32), *args)
 
 
 def _dense_wrap(lengths_ref, tables_ref, layer_ref, buf_ref, init_ref,
-                q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sems,
+                pf_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sems,
                 m0, l0, m1, l1, acc, **kw):
     """Adapter: unquantized kernel without the scale operands/scratch."""
     _attn_kernel(lengths_ref, tables_ref, layer_ref, buf_ref, init_ref,
-                 q_ref, k_hbm, v_hbm, None, None, o_ref,
+                 pf_ref, q_ref, k_hbm, v_hbm, None, None, o_ref,
                  k_buf, v_buf, None, None, sems, m0, l0, m1, l1, acc, **kw)
 
 
