@@ -232,6 +232,14 @@ class MultiHostContinuousEngine:
                     if alias is not None:
                         res.request_id = alias
                     self._results[rid] = res
+                    # signal under the WIRE rid — events are keyed by it;
+                    # res.request_id may now carry the caller's alias
+                    lock = getattr(self, "_lock", None)
+                    if lock is not None:
+                        with lock:
+                            ev = self._events.get(rid)
+                        if ev is not None:
+                            ev.set()
 
         flags = np.asarray(g_work).astype(np.int64)
         self.global_work = bool(int((flags & 1).sum()))
@@ -272,14 +280,13 @@ class MultiHostContinuousEngine:
 
         def loop():
             # coordinated shutdown: keep stepping (and serving other hosts'
-            # work) until EVERY host has requested stop and no work remains
+            # work) until EVERY host has requested stop and no work remains.
+            # Completion events are signaled inside step() under the wire
+            # rid (results may carry a caller alias in request_id).
             while True:
-                for res in self.step():
-                    with self._lock:
-                        ev = self._events.get(res.request_id)
-                    if ev is not None:
-                        ev.set()
-                if getattr(self, "all_want_stop", False)                         and not self.global_work:
+                self.step()
+                if (getattr(self, "all_want_stop", False)
+                        and not self.global_work):
                     return
                 if not self.global_work:
                     time.sleep(0.01)
@@ -343,7 +350,7 @@ class MultiHostContinuousEngine:
         n_gen = getattr(self, "_last_n_gen", None)
         if out is None:
             return {}
-        mine = {s: v for s, v in self.inner._active.items()
+        mine = {s: v for s, v in list(self.inner._active.items())
                 if v[0].startswith(f"h{self.host}-")}
         return collect_partial_tokens(mine, n_gen, out,
                                       self.config.t3.stop_speech_token)

@@ -342,7 +342,8 @@ class PagedContinuousEngine:
         if self.quantized:   # + f32 scale per (layer, head, token) for k and v
             page_bytes += 2 * cfg.num_layers * cfg.num_kv_heads * self.bs * 4
         floor = max(2 * self.NB, 4)
-        cap = self.B * self.NB                      # dense equivalent
+        # dense-equivalent capacity + one reserved trash page per data shard
+        cap = self.B * self.NB + self.n_shards
         util = float(os.environ.get("CHATTERBOX_HBM_UTILIZATION", 0.85))
         # a mesh splits every page over (data x model) devices, so the
         # whole mesh's HBM funds the pool, not one device's

@@ -397,17 +397,20 @@ def make_engine(config: Config, params: dict, *, compute_dtype=jnp.bfloat16,
     implicitly from vLLM, reference `tts.py:445-465`), "paged" additionally
     swaps the slotted cache for the paged pool + Pallas attention."""
     kind = config.engine.engine_kind
+    if kind not in ("dense", "continuous", "paged"):
+        raise ValueError(f"unknown engine_kind '{kind}'")
     # multi-process job (jax.distributed initialized by server startup or a
     # pod launcher): serve through the lockstep multi-host driver — each
     # host keeps its own queue, the SPMD engine is global (SURVEY §5.8)
     if jax.process_count() > 1:
         if kind == "paged":
-            raise NotImplementedError(
-                "engine_kind='paged' is single-process for now: the paged "
-                "host scheduler device_gets shard-local state.  Multi-host "
-                "serving uses the dense-cache continuous engine "
-                "(engine_kind 'continuous'); single-process multi-chip "
-                "paged serving works via CHATTERBOX_MESH.")
+            # the paged host scheduler device_gets shard-local state, so it
+            # is single-process for now; a pod slice must still BOOT with
+            # any launcher preset — degrade to the dense-cache multi-host
+            # engine rather than failing startup
+            print("[WARNING] engine_kind='paged' is single-process; "
+                  "multi-host serving uses the dense-cache continuous "
+                  "engine instead")
         from .multihost import MultiHostContinuousEngine
 
         eng = MultiHostContinuousEngine(config, params,

@@ -322,32 +322,40 @@ class TTSService:
             finally:
                 j.done.set()
 
+    def _drain_new_jobs(self, block: bool, submit):
+        """Shared queue-drain for the continuous/multihost workers: pull
+        jobs (blocking only when idle), prep, and hand them to `submit`.
+        Returns False if the shutdown sentinel was seen while stopping."""
+        while True:
+            try:
+                job = (self._queue.get(timeout=0.25) if block
+                       else self._queue.get_nowait())
+            except queue.Empty:
+                return True
+            if job is None:
+                return not self._stop.is_set()
+            block = False
+            try:
+                req, conds = self._prep_job(job)
+                submit(job, req, conds)
+            except Exception as e:       # per-job prep failure
+                job.error = e
+                job.done.set()
+
     def _run_multihost(self) -> None:
         """Worker loop over a MultiHostContinuousEngine: submit jobs with
         completion events and harvest as the engine's own lockstep loop
         finishes them (never calls step() — that thread owns it)."""
         engine = self.model.engine
         inflight: dict[str, tuple[_Job, object, object]] = {}
+
+        def submit(job, req, conds):
+            rid, ev = engine.submit_with_event(req)
+            inflight[rid] = (job, conds, ev)
+
         while not self._stop.is_set():
-            block = not inflight
-            while True:
-                try:
-                    job = (self._queue.get(timeout=0.25) if block
-                           else self._queue.get_nowait())
-                except queue.Empty:
-                    break
-                if job is None:
-                    if self._stop.is_set():
-                        return
-                    break
-                block = False
-                try:
-                    req, conds = self._prep_job(job)
-                    rid, ev = engine.submit_with_event(req)
-                    inflight[rid] = (job, conds, ev)
-                except Exception as e:   # per-job prep failure
-                    job.error = e
-                    job.done.set()
+            if not self._drain_new_jobs(not inflight, submit):
+                return
             finished = [(rid, j, conds) for rid, (j, conds, ev)
                         in inflight.items() if ev.is_set()]
             for rid, j, conds in finished:
@@ -364,27 +372,15 @@ class TTSService:
     def _run_continuous(self) -> None:
         engine = self.model.engine
         inflight: dict[str, tuple[_Job, object]] = {}  # rid -> (job, conds)
+
+        def submit(job, req, conds):
+            inflight[engine.submit(req)] = (job, conds)
+
         while not self._stop.is_set():
             # pull new jobs; block only when fully idle
-            block = not inflight and not engine.has_work
-            while True:
-                try:
-                    job = (self._queue.get(timeout=0.25) if block
-                           else self._queue.get_nowait())
-                except queue.Empty:
-                    break
-                if job is None:
-                    if self._stop.is_set():
-                        return
-                    break
-                block = False
-                try:
-                    req, conds = self._prep_job(job)
-                    rid = engine.submit(req)
-                    inflight[rid] = (job, conds)
-                except Exception as e:   # per-job prep failure
-                    job.error = e
-                    job.done.set()
+            if not self._drain_new_jobs(
+                    not inflight and not engine.has_work, submit):
+                return
             if not engine.has_work:
                 continue
             try:

@@ -134,8 +134,10 @@ def worker(ref_path: str) -> None:
              for i in LOADS[eng.host][:1]]
     if eng.host == 1:
         _time.sleep(0.6)
+    again[0].request_id = f"caller-{eng.host}"   # alias path coverage
     res2 = eng.submit_wait(again[0], timeout_s=300)
     assert len(res2.tokens) > 0 or res2.finished_by_stop
+    assert res2.request_id == f"caller-{eng.host}", res2.request_id
     # the serving adapter the TTSService path uses (generate -> events)
     more = [_dc.replace(reqs[i], request_id=None, seed=850 + i)
             for i in LOADS[eng.host]]
