@@ -356,6 +356,18 @@ class TTSService:
         while not self._stop.is_set():
             if not self._drain_new_jobs(not inflight, submit):
                 return
+            # watchdog: if the engine's lockstep thread died, inflight
+            # events will never fire — fail the jobs instead of hanging
+            # their HTTP callers until timeout
+            t = getattr(engine, "_loop_thread", None)
+            if inflight and t is not None and not t.is_alive():
+                err = RuntimeError("multi-host lockstep loop died")
+                for rid, (j, _c, _e) in list(inflight.items()):
+                    if j.error is None and j.audio is None:
+                        j.error = err
+                        j.done.set()
+                inflight.clear()
+                continue
             finished = [(rid, j, conds) for rid, (j, conds, ev)
                         in inflight.items() if ev.is_set()]
             for rid, j, conds in finished:
