@@ -303,6 +303,12 @@ class EngineConfig:
     # body to compile — fast cold start through the slow axon compile path).
     # "unroll": static Python loop (bigger program, slightly faster step).
     layer_mode: str = "scan"
+    # Paged-engine append strategy: "dus" writes each new token's K/V into
+    # its page every step (per-pair dynamic_update_slice ops); "staged"
+    # accumulates the chunk's tokens in a dense tail buffer (one scalar-
+    # indexed DUS per layer per step) that the kernel reads as an extra
+    # attention block, flushed to pages once per chunk.
+    paged_append: str = "dus"
     # Decode attention implementation: "xla" (einsum over a per-layer cache
     # slice) or "pallas" (fused ops/dense_attention kernel reading the
     # stacked cache via a scalar-prefetched layer index).  "xla" measured

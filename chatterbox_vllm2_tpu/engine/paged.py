@@ -115,7 +115,9 @@ def paged_backbone_decode(
     block_size: int,
     interpret: bool = False,
     mesh: Optional[Mesh] = None,
-) -> tuple[jnp.ndarray, PagedKV]:
+    tail: Optional[tuple] = None,   # staged append: (tail_k, tail_v
+                                    # [L, B, H, C, 2D], t, flushed [B])
+) -> tuple:
     """One decode step over the paged cache.  Appends the new token's packed
     pair K/V to each pair's current page in place, then runs the Pallas
     paged-attention kernel against the full stacked pool.  The per-pair page
@@ -146,6 +148,31 @@ def paged_backbone_decode(
                 check_vma=False,
             )(q, k, v, paged, lengths, active)
 
+    if tail is not None:
+        tail_k, tail_v, t, flushed = tail
+
+        def attend_staged(q, k, v, paged, lengths, tail_k, tail_v,
+                          flushed, **kw):
+            fn = functools.partial(_attend_staged, t=t, **kw)
+            if mesh is None:
+                return fn(q, k, v, paged, lengths, tail_k, tail_v, flushed)
+            from jax import shard_map
+            pool_spec = P(None, "data", "model", None, None)
+            scl_spec = P(None, "data", "model", None)
+            kv_specs = PagedKV(
+                pool_spec, pool_spec,
+                None if paged.k_scales is None else scl_spec,
+                None if paged.v_scales is None else scl_spec,
+                P("data", None))
+            tl = P(None, "data", "model", None, None)
+            return shard_map(
+                fn, mesh=mesh,
+                in_specs=(P("data", "model", None),) * 3
+                + (kv_specs, P("data"), tl, tl, P("data")),
+                out_specs=(P("data", "model", None), tl, tl),
+                check_vma=False,
+            )(q, k, v, paged, lengths, tail_k, tail_v, flushed)
+
     for l in range(cfg.num_layers):
         lp = _layer_params(params, l)
         resid = x
@@ -153,9 +180,16 @@ def paged_backbone_decode(
         q, k, v = _qkv(lp, y, cfg)                           # [S, nh, hd]
         q = apply_rope(q[:, None], rope_cos, rope_sin, pos)[:, 0]
         k = apply_rope(k[:, None], rope_cos, rope_sin, pos)[:, 0]
-        out, paged = attend(
-            q, k, v, paged, lengths, active, layer=l, block_size=block_size,
-            sm_scale=hd ** -0.5, interpret=interpret)
+        if tail is None:
+            out, paged = attend(
+                q, k, v, paged, lengths, active, layer=l,
+                block_size=block_size, sm_scale=hd ** -0.5,
+                interpret=interpret)
+        else:
+            out, tail_k, tail_v = attend_staged(
+                q, k, v, paged, lengths, tail_k, tail_v, flushed,
+                layer=l, block_size=block_size, sm_scale=hd ** -0.5,
+                interpret=interpret)
         out = out.reshape(S, nh * hd).astype(x.dtype)
         x = resid + quant_einsum(out, lp["o_proj"])
 
@@ -164,7 +198,63 @@ def paged_backbone_decode(
         x = resid + _mlp(lp, y)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if tail is not None:
+        return x, paged, tail_k, tail_v
     return x, paged
+
+
+def _attend_staged(q, k, v, paged: PagedKV, lengths, tail_k, tail_v,
+                   flushed, *, t, layer: int, block_size: int,
+                   sm_scale: float, interpret: bool):
+    """Staged-append per-layer attention: write this step's packed pair K/V
+    into the chunk tail at index t (one scalar-indexed DUS — no per-pair
+    scatter), then attend over pages (flushed tokens) + tail (the rest).
+    Pools are read-only here; the tail flushes to pages once per chunk."""
+    kp = pack_pairs(k).astype(tail_k.dtype)
+    vp = pack_pairs(v).astype(tail_v.dtype)
+    tail_k = jax.lax.dynamic_update_slice(
+        tail_k, kp[None, :, :, None, :], (layer, 0, 0, t, 0))
+    tail_v = jax.lax.dynamic_update_slice(
+        tail_v, vp[None, :, :, None, :], (layer, 0, 0, t, 0))
+    out = paged_attention_pairs(
+        pack_pairs(q), paged.k, paged.v, paged.tables, lengths + 1,
+        layer, block_size=block_size, sm_scale=sm_scale,
+        k_scales=paged.k_scales, v_scales=paged.v_scales,
+        flushed=flushed, tail_k=tail_k, tail_v=tail_v,
+        interpret=interpret)
+    return unpack_pairs(out), tail_k, tail_v
+
+
+def _flush_tail(paged: PagedKV, tail_k, tail_v, flushed, active, *,
+                block_size):
+    """Scatter a whole chunk's tail into pages (once per decode chunk).
+    Inactive pairs' rows route to the trash page (stale tables)."""
+    L, B, H, C, D2 = tail_k.shape
+    bs = block_size
+    pos = flushed[:, None] + jnp.arange(C)[None, :]          # [B, C]
+    page = jnp.take_along_axis(paged.tables, pos // bs, axis=1)
+    page = jnp.where(active[:, None], page, paged.k.shape[1] - 1)
+    off = pos % bs
+    pf = page.reshape(-1)
+    of = off.reshape(-1)
+    kv_rows = lambda x: x.transpose(0, 1, 3, 2, 4).reshape(L, B * C, H, D2)
+    kr, vr = kv_rows(tail_k), kv_rows(tail_v)
+    k_pages, v_pages = paged.k, paged.v
+    k_scl, v_scl = paged.k_scales, paged.v_scales
+    if k_scl is not None:
+        k_q, k_s = quantize_pair_rows(kr)
+        v_q, v_s = quantize_pair_rows(vr)
+        k_pages = k_pages.at[:, pf, :, of, :].set(
+            jnp.swapaxes(k_q, 1, 1), mode="drop")
+        v_pages = v_pages.at[:, pf, :, of, :].set(v_q, mode="drop")
+        k_scl = k_scl.at[:, pf, :, of].set(k_s, mode="drop")
+        v_scl = v_scl.at[:, pf, :, of].set(v_s, mode="drop")
+    else:
+        k_pages = k_pages.at[:, pf, :, of, :].set(
+            kr.astype(k_pages.dtype), mode="drop")
+        v_pages = v_pages.at[:, pf, :, of, :].set(
+            vr.astype(v_pages.dtype), mode="drop")
+    return PagedKV(k_pages, v_pages, k_scl, v_scl, paged.tables)
 
 
 def _write_prefill_sharded(paged_k, paged_v, k_scl, v_scl, k_new, v_new,

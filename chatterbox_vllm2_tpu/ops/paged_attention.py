@@ -108,12 +108,16 @@ def _attn_kernel(
     buf_ref,        # [1] int32 — compute slot (mutable scalar state)
     init_ref,       # [1] int32 — 1 until the pipeline has been primed
     pf_ref,         # [2] int32 — (pair, page) of the last prefetched chunk
+    flushed_ref,    # [B] int32 — tokens resident in PAGES (staged mode; the
+                    # rest of `lengths` lives in the tail buffer) or None
     # inputs
     q_ref,          # [1, H, 2D] bf16 (VMEM block at pair b)
     k_hbm,          # [L*P, H, bs, 2D] (ANY)
     v_hbm,          # [L*P, H, bs, 2D] (ANY)
     k_scl_hbm,      # [L*P, H, bs] f32 (ANY) or None
     v_scl_hbm,
+    kt_hbm,         # [L*B, H, C, 2D] bf16 tail (ANY; staged mode) or None
+    vt_hbm,
     # output
     o_ref,          # [1, H, 2D] f32
     # scratch
@@ -121,7 +125,10 @@ def _attn_kernel(
     v_buf,
     ks_buf,         # [NBUF, H, bs] f32 or None
     vs_buf,
+    kt_buf,         # [H, C, 2D] bf16 or None (staged tail)
+    vt_buf,
     sems,           # DMA sems [NBUF, 2] (slot, k/v)
+    tsem,           # DMA sem for the tail or None
     m0, l0, m1, l1,  # [H, 1] f32 online-softmax state (cond / uncond)
     acc,            # [H, 2D] f32
     *,
@@ -137,16 +144,22 @@ def _attn_kernel(
     H, D2 = acc.shape
     D = D2 // 2
     length = lengths_ref[b]
+    staged = kt_buf is not None
+    paged_len = flushed_ref[b] if staged else length
     cs = bs * PAGES_PER_FETCH                 # tokens per fetched chunk
-    nchunks = pl.cdiv(length, cs)
+    nchunks = pl.cdiv(paged_len, cs)
     quantized = ks_buf is not None
+
+    def pair_paged_len(bb):
+        bb = jnp.minimum(bb, B - 1)
+        return flushed_ref[bb] if staged else lengths_ref[bb]
 
     def copies(bb, i, slot):
         # one "chunk" = PAGES_PER_FETCH consecutive logical pages of pair bb
         # (physical pages are arbitrary: one copy per page, same semaphores);
         # the trailing page of an odd tail clamps to the last valid page and
         # its tokens are masked
-        np_bb = pl.cdiv(lengths_ref[jnp.minimum(bb, B - 1)], bs)
+        np_bb = pl.cdiv(pair_paged_len(bb), bs)
         out = []
         for p in range(PAGES_PER_FETCH):
             pg = jnp.minimum(i * PAGES_PER_FETCH + p,
@@ -182,17 +195,17 @@ def _attn_kernel(
             c.wait()
 
     def first_active(s):
-        """Smallest pair index >= s with a nonzero length, else B."""
+        """Smallest pair index >= s with nonzero PAGED tokens, else B."""
         return jax.lax.fori_loop(
             0, B,
             lambda _, cur: jnp.where(
-                (cur < B) & (lengths_ref[jnp.minimum(cur, B - 1)] == 0),
+                (cur < B) & (pair_paged_len(cur) == 0),
                 cur + 1, cur),
             s)
 
     def advance(bb, ii):
         """Next (pair, chunk) in flat traversal order; (B, 0) past the end."""
-        nc_b = pl.cdiv(lengths_ref[jnp.minimum(bb, B - 1)], cs)
+        nc_b = pl.cdiv(pair_paged_len(bb), cs)
         return jax.lax.cond(
             (bb < B) & (ii + 1 < nc_b), lambda: (bb, ii + 1),
             lambda: (first_active(jnp.minimum(bb, B - 1) + 1), 0))
@@ -212,6 +225,11 @@ def _attn_kernel(
     def _():
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
+    def tail_copies():
+        fl = layer_ref[0] * B + b
+        return [pltpu.make_async_copy(kt_hbm.at[fl], kt_buf, tsem),
+                pltpu.make_async_copy(vt_hbm.at[fl], vt_buf, tsem)]
+
     @pl.when(nchunks > 0)
     def _():
         m0[...] = jnp.full_like(m0, -1e30)
@@ -219,6 +237,9 @@ def _attn_kernel(
         l0[...] = jnp.zeros_like(l0)
         l1[...] = jnp.zeros_like(l1)
         acc[...] = jnp.zeros_like(acc)
+        if staged:
+            for c in tail_copies():
+                c.start()
 
         @pl.when(init_ref[0] == 1)
         def _():
@@ -241,6 +262,17 @@ def _attn_kernel(
         def rank3(x):
             # Mosaic can't shape-cast bf16 across ranks; hop through f32
             return x.astype(jnp.float32)[:, None, :].astype(jnp.bfloat16)
+
+        def online(sc, m_ref_, l_ref_):
+            m_prev, l_prev = m_ref_[...], l_ref_[...]
+            m_cur = jnp.max(sc, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(sc - m_new)
+            l_ref_[...] = l_prev * alpha + jnp.sum(p, axis=-1,
+                                                   keepdims=True)
+            m_ref_[...] = m_new
+            return p, alpha
 
         def body(i, _):
             slot = buf_ref[0]
@@ -265,19 +297,8 @@ def _attn_kernel(
                     preferred_element_type=jnp.float32,
                 )[:, 0, :] * scale                           # [H, bs]
                 valid = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                         + i * cs) < length
+                         + i * cs) < paged_len
                 return jnp.where(valid, s, -1e30)
-
-            def online(s, m_ref_, l_ref_):
-                m_prev, l_prev = m_ref_[...], l_ref_[...]
-                m_cur = jnp.max(s, axis=-1, keepdims=True)
-                m_new = jnp.maximum(m_prev, m_cur)
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(s - m_new)
-                l_ref_[...] = l_prev * alpha + jnp.sum(p, axis=-1,
-                                                       keepdims=True)
-                m_ref_[...] = m_new
-                return p, alpha
 
             p0, a0 = online(scores(q0), m0, l0)
             p1, a1 = online(scores(q1), m1, l1)
@@ -298,8 +319,76 @@ def _attn_kernel(
             return 0
 
         jax.lax.fori_loop(0, nchunks, body, 0)
+
+        if staged:
+            # this chunk's not-yet-flushed tokens (incl. the new one): one
+            # masked online-softmax block from the tail buffer.  An empty
+            # tail (done pairs) is safe: a fully-masked block leaves the
+            # softmax state untouched (alpha == 1, p == 0).
+            for c in tail_copies():
+                c.wait()
+            kt = kt_buf[...]
+            vt = vt_buf[...]
+            t_count = length - paged_len
+
+            def t_scores(qh):
+                sc = jax.lax.dot_general(
+                    rank3(qh), kt,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )[:, 0, :] * scale
+                valid = jax.lax.broadcasted_iota(
+                    jnp.int32, sc.shape, 1) < t_count
+                return jnp.where(valid, sc, -1e30)
+
+            p0t, a0t = online(t_scores(q0), m0, l0)
+            p1t, a1t = online(t_scores(q1), m1, l1)
+
+            def t_pv(p):
+                return jax.lax.dot_general(
+                    rank3(p), vt,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )[:, 0, :]
+
+            alpha_t = jnp.where(lane < D, a0t, a1t)
+            acc[...] = acc[...] * alpha_t + jnp.where(lane < D, t_pv(p0t),
+                                                      t_pv(p1t))
+
         l_full = jnp.where(lane < D, l0[...], l1[...])
         o_ref[0] = acc[...] / jnp.maximum(l_full, 1e-30)
+
+
+def _make_kernel(quantized: bool, staged: bool, **static):
+    """Positional-ref adapter over _attn_kernel for every (quantized,
+    staged) operand/scratch combination."""
+
+    def kern(lengths, tables, layer, buf, init, pf, flushed, *rest):
+        it = iter(rest)
+        q_ref = next(it)
+        k_hbm = next(it)
+        v_hbm = next(it)
+        k_scl = next(it) if quantized else None
+        v_scl = next(it) if quantized else None
+        kt_hbm = next(it) if staged else None
+        vt_hbm = next(it) if staged else None
+        o_ref = next(it)
+        k_buf = next(it)
+        v_buf = next(it)
+        ks_buf = next(it) if quantized else None
+        vs_buf = next(it) if quantized else None
+        kt_buf = next(it) if staged else None
+        vt_buf = next(it) if staged else None
+        sems = next(it)
+        tsem = next(it) if staged else None
+        m0, l0, m1, l1, acc = it
+        _attn_kernel(lengths, tables, layer, buf, init, pf,
+                     flushed if staged else lengths,
+                     q_ref, k_hbm, v_hbm, k_scl, v_scl, kt_hbm, vt_hbm,
+                     o_ref, k_buf, v_buf, ks_buf, vs_buf, kt_buf, vt_buf,
+                     sems, tsem, m0, l0, m1, l1, acc, **static)
+
+    return kern
 
 
 @functools.partial(
@@ -318,19 +407,28 @@ def paged_attention_pairs(
     sm_scale: float,
     k_scales: jnp.ndarray | None = None,   # [L, P, H, bs] f32 for INT8 pages
     v_scales: jnp.ndarray | None = None,
+    flushed: jnp.ndarray | None = None,    # [B] — staged mode: tokens in pages
+    tail_k: jnp.ndarray | None = None,     # [L, B, H, C, 2D] bf16 chunk tail
+    tail_v: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns [B, H, 2D] f32 packed attention output for one layer."""
+    """Returns [B, H, 2D] f32 packed attention output for one layer.
+
+    Staged mode (`flushed`/`tail_k`/`tail_v` given): pages hold `flushed[b]`
+    tokens and the remaining `lengths[b] - flushed[b]` live in the per-pair
+    tail buffer (this decode chunk's appends, flushed to pages once per
+    chunk by the engine)."""
     B, H, D2 = q.shape
     L, P = k_pages.shape[:2]
     NB = block_tables.shape[1]
     quantized = k_scales is not None
+    staged = tail_k is not None
 
-    flat = lambda a: a.reshape((L * P,) + a.shape[2:])
+    flat = lambda a: a.reshape((L * a.shape[1],) + a.shape[2:])
     kv_dtype = k_pages.dtype
 
-    kernel = functools.partial(
-        _attn_kernel if quantized else _dense_wrap,
+    kernel = _make_kernel(
+        quantized, staged,
         block_size=block_size, pages_per_layer=P, blocks_per_pair=NB,
         scale=sm_scale)
 
@@ -353,8 +451,19 @@ def paged_attention_pairs(
         args += [flat(k_scales), flat(v_scales)]
         scratch += [pltpu.VMEM((NBUF, H, CW), jnp.float32),
                     pltpu.VMEM((NBUF, H, CW), jnp.float32)]
-    scratch += [
-        pltpu.SemaphoreType.DMA((NBUF, 2)),
+    if staged:
+        C = tail_k.shape[3]
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY)]
+        args += [flat(tail_k.astype(jnp.bfloat16)),
+                 flat(tail_v.astype(jnp.bfloat16))]
+        scratch += [pltpu.VMEM((H, C, D2), jnp.bfloat16),
+                    pltpu.VMEM((H, C, D2), jnp.bfloat16)]
+    sem_scratch = [pltpu.SemaphoreType.DMA((NBUF, 2))]
+    if staged:
+        sem_scratch += [pltpu.SemaphoreType.DMA(())]
+    # scratch order must match _make_kernel: bufs, sems, softmax state
+    scratch = scratch + sem_scratch + [
         pltpu.VMEM((H, 1), jnp.float32),   # m0
         pltpu.VMEM((H, 1), jnp.float32),   # l0
         pltpu.VMEM((H, 1), jnp.float32),   # m1
@@ -363,7 +472,7 @@ def paged_attention_pairs(
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, D2), lambda b, *_: (b, 0, 0),
@@ -380,16 +489,8 @@ def paged_attention_pairs(
     )(lengths, block_tables.reshape(-1),
       jnp.asarray(layer, jnp.int32).reshape(1),
       jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
-      jnp.zeros((2,), jnp.int32), *args)
-
-
-def _dense_wrap(lengths_ref, tables_ref, layer_ref, buf_ref, init_ref,
-                pf_ref, q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sems,
-                m0, l0, m1, l1, acc, **kw):
-    """Adapter: unquantized kernel without the scale operands/scratch."""
-    _attn_kernel(lengths_ref, tables_ref, layer_ref, buf_ref, init_ref,
-                 pf_ref, q_ref, k_hbm, v_hbm, None, None, o_ref,
-                 k_buf, v_buf, None, None, sems, m0, l0, m1, l1, acc, **kw)
+      jnp.zeros((2,), jnp.int32),
+      lengths if flushed is None else flushed, *args)
 
 
 # --------------------------------------------------------------------------- #

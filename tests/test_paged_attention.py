@@ -189,3 +189,41 @@ def test_native_matches_python_fallback():
             n.release(seq); p.release(seq)
         assert n.num_free == p.num_free
         np.testing.assert_array_equal(n.full_table(), p.full_table())
+
+
+def test_staged_tail_matches_full_pages(problem):
+    """Staged mode: pages hold `flushed` tokens, the chunk tail holds the
+    rest — output must match the all-in-pages kernel on the same logical
+    K/V (the engine's staged-append path, flushed once per decode chunk)."""
+    q, k, v, lengths = problem
+    kp, vp, _, _, tables, _ = _build_pages(k, v)
+    ref = _run(q, kp, vp, tables, lengths)
+
+    C = 8                                     # tail capacity (chunk steps)
+    flushed = np.maximum(lengths - np.array([3, 5, 0]), 0).astype(np.int32)
+    # rebuild pages holding only the flushed prefix; tail carries the rest
+    k_cut = k.copy()
+    v_cut = v.copy()
+    tail_k = np.zeros((L, B, H, C, 2 * D), np.float32)
+    tail_v = np.zeros((L, B, H, C, 2 * D), np.float32)
+    for b in range(B):
+        n_tail = int(lengths[b] - flushed[b])
+        for t in range(n_tail):
+            pos = int(flushed[b]) + t
+            for s_half in (0, 1):
+                tail_k[:, b, :, t, s_half * D:(s_half + 1) * D] = \
+                    k[:, 2 * b + s_half, :, pos, :]
+                tail_v[:, b, :, t, s_half * D:(s_half + 1) * D] = \
+                    v[:, 2 * b + s_half, :, pos, :]
+        k_cut[:, 2 * b: 2 * b + 2, :, int(flushed[b]):, :] = 7.7   # poison
+        v_cut[:, 2 * b: 2 * b + 2, :, int(flushed[b]):, :] = -7.7
+    kp2, vp2, _, _, tables2, _ = _build_pages(k_cut, v_cut)
+
+    out = paged_attention_pairs(
+        pack_pairs(jnp.asarray(q)), kp2, vp2, tables2,
+        jnp.asarray(lengths, jnp.int32), LAYER,
+        block_size=BS, sm_scale=D ** -0.5,
+        flushed=jnp.asarray(flushed), tail_k=jnp.asarray(tail_k),
+        tail_v=jnp.asarray(tail_v), interpret=True)
+    out = np.asarray(unpack_pairs(out))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=6e-3)
