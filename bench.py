@@ -48,7 +48,9 @@ def build_engine(jax, jnp, B, max_len, quant_mode, engine_kind):
                             decode_steps_per_dispatch=steps,
                             kv_block_size=int(os.environ.get("BENCH_BLOCK", 128)),
                             kv_cache_dtype=os.environ.get(
-                                "BENCH_KV_DTYPE", "bfloat16")),
+                                "BENCH_KV_DTYPE", "bfloat16"),
+                            paged_append=os.environ.get(
+                                "BENCH_PAGED_APPEND", "dus")),
     )
     params = init_t3_params(0, cfg.t3, jnp.bfloat16)
     if engine_kind == "paged":

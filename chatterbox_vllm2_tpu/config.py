@@ -369,6 +369,7 @@ class Config:
             engine_kind=os.environ.get("CHATTERBOX_ENGINE", "continuous"),
             decode_steps_per_dispatch=int(os.environ.get(
                 "CHATTERBOX_DECODE_STEPS", 32)),
+            paged_append=os.environ.get("CHATTERBOX_PAGED_APPEND", "dus"),
         )
         srv = ServerConfig(
             host=os.environ.get("CHATTERBOX_HOST", "0.0.0.0"),

@@ -62,6 +62,7 @@ from ..ops.paged_attention import (
     append_layer_to_pages,
     pack_pairs,
     paged_attention_pairs,
+    quantize_pair_rows,
     unpack_pairs,
     write_prefill_to_pages,
 )
@@ -153,9 +154,9 @@ def paged_backbone_decode(
 
         def attend_staged(q, k, v, paged, lengths, tail_k, tail_v,
                           flushed, **kw):
-            fn = functools.partial(_attend_staged, t=t, **kw)
+            fn = functools.partial(_attend_staged, **kw)
             if mesh is None:
-                return fn(q, k, v, paged, lengths, tail_k, tail_v, flushed)
+                return fn(q, k, v, paged, lengths, tail_k, tail_v, flushed, t)
             from jax import shard_map
             pool_spec = P(None, "data", "model", None, None)
             scl_spec = P(None, "data", "model", None)
@@ -168,10 +169,10 @@ def paged_backbone_decode(
             return shard_map(
                 fn, mesh=mesh,
                 in_specs=(P("data", "model", None),) * 3
-                + (kv_specs, P("data"), tl, tl, P("data")),
+                + (kv_specs, P("data"), tl, tl, P("data"), P()),
                 out_specs=(P("data", "model", None), tl, tl),
                 check_vma=False,
-            )(q, k, v, paged, lengths, tail_k, tail_v, flushed)
+            )(q, k, v, paged, lengths, tail_k, tail_v, flushed, t)
 
     for l in range(cfg.num_layers):
         lp = _layer_params(params, l)
@@ -204,7 +205,7 @@ def paged_backbone_decode(
 
 
 def _attend_staged(q, k, v, paged: PagedKV, lengths, tail_k, tail_v,
-                   flushed, *, t, layer: int, block_size: int,
+                   flushed, t, *, layer: int, block_size: int,
                    sm_scale: float, interpret: bool):
     """Staged-append per-layer attention: write this step's packed pair K/V
     into the chunk tail at index t (one scalar-indexed DUS — no per-pair
@@ -228,24 +229,28 @@ def _attend_staged(q, k, v, paged: PagedKV, lengths, tail_k, tail_v,
 def _flush_tail(paged: PagedKV, tail_k, tail_v, flushed, active, *,
                 block_size):
     """Scatter a whole chunk's tail into pages (once per decode chunk).
-    Inactive pairs' rows route to the trash page (stale tables)."""
+    Inactive pairs' rows route to the trash page (stale tables); pairs
+    active at chunk end appended every step, so all C rows are valid.
+    With advanced indices separated by a slice, the index axis moves to
+    the FRONT of the updated window, so rows are laid out [B*C, L, H, .]."""
     L, B, H, C, D2 = tail_k.shape
     bs = block_size
+    NB = paged.tables.shape[1]
     pos = flushed[:, None] + jnp.arange(C)[None, :]          # [B, C]
-    page = jnp.take_along_axis(paged.tables, pos // bs, axis=1)
+    page = jnp.take_along_axis(paged.tables,
+                               jnp.minimum(pos // bs, NB - 1), axis=1)
     page = jnp.where(active[:, None], page, paged.k.shape[1] - 1)
     off = pos % bs
-    pf = page.reshape(-1)
+    pf = page.reshape(-1)                                    # [B*C]
     of = off.reshape(-1)
-    kv_rows = lambda x: x.transpose(0, 1, 3, 2, 4).reshape(L, B * C, H, D2)
+    kv_rows = lambda x: x.transpose(1, 3, 0, 2, 4).reshape(B * C, L, H, D2)
     kr, vr = kv_rows(tail_k), kv_rows(tail_v)
     k_pages, v_pages = paged.k, paged.v
     k_scl, v_scl = paged.k_scales, paged.v_scales
     if k_scl is not None:
         k_q, k_s = quantize_pair_rows(kr)
         v_q, v_s = quantize_pair_rows(vr)
-        k_pages = k_pages.at[:, pf, :, of, :].set(
-            jnp.swapaxes(k_q, 1, 1), mode="drop")
+        k_pages = k_pages.at[:, pf, :, of, :].set(k_q, mode="drop")
         v_pages = v_pages.at[:, pf, :, of, :].set(v_q, mode="drop")
         k_scl = k_scl.at[:, pf, :, of].set(k_s, mode="drop")
         v_scl = v_scl.at[:, pf, :, of].set(v_s, mode="drop")
@@ -349,6 +354,10 @@ class PagedContinuousEngine:
         self.P = self.P_local * self.n_shards
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
+        if ecfg.paged_append not in ("dus", "staged"):
+            raise ValueError(
+                f"paged_append must be 'dus' or 'staged', got "
+                f"{ecfg.paged_append!r}")
         if self.quantized and not self.interpret and self.bs % 128:
             raise ValueError(
                 "kv_cache_dtype='int8' needs kv_block_size % 128 == 0 on "
@@ -577,16 +586,28 @@ class PagedContinuousEngine:
                 text_len.at[slot].set(req_text_len[0]))
 
     def _decode_step(self, params, sampling, cfg_scale, max_new, text_len,
-                     state: PagedDecodeState, _):
+                     state: PagedDecodeState, t, tails=None, flushed=None):
+        """One decode step.  `tails=(tail_k, tail_v)` switches the append to
+        staged mode (`paged_append="staged"`): the new K/V land in the chunk
+        tail at scan index `t` and the pools stay read-only until the
+        once-per-chunk flush in `_decode_chunk_impl`."""
         cfg = self.t3cfg
         tokens_s = jnp.repeat(state.last_token, 2)
         pos_s = jnp.repeat(state.speech_pos, 2)
         embeds = build_decode_embeds(params, cfg, tokens_s, pos_s,
                                      self.compute_dtype)
-        hidden, paged = paged_backbone_decode(
-            params, cfg, embeds, state.paged, state.lengths, ~state.done,
-            *self._rope,
-            block_size=self.bs, interpret=self.interpret, mesh=self.mesh)
+        if tails is None:
+            hidden, paged = paged_backbone_decode(
+                params, cfg, embeds, state.paged, state.lengths, ~state.done,
+                *self._rope,
+                block_size=self.bs, interpret=self.interpret, mesh=self.mesh)
+        else:
+            hidden, paged, tail_k, tail_v = paged_backbone_decode(
+                params, cfg, embeds, state.paged, state.lengths, ~state.done,
+                *self._rope,
+                block_size=self.bs, interpret=self.interpret, mesh=self.mesh,
+                tail=(tails[0], tails[1], t, flushed))
+            tails = (tail_k, tail_v)
         logits = cfg_combine(
             speech_logits(params, hidden, cfg.speech_vocab_size),
             cfg_scale)
@@ -615,18 +636,62 @@ class PagedContinuousEngine:
                          jnp.stack([state.prev_tokens[:, 1], state.last_token],
                                    axis=1),
                          state.prev_tokens)
-        return PagedDecodeState(
+        new_state = PagedDecodeState(
             paged=paged, lengths=lengths, speech_pos=speech_pos,
             last_token=tok, prev_tokens=prev, completed_at=completed_at,
             seen=seen, done=done, stopped=state.stopped | hit_stop,
-            n_generated=n_gen, out_tokens=out, keys=keys), None
+            n_generated=n_gen, out_tokens=out, keys=keys)
+        return new_state, tails
 
     def _decode_chunk_impl(self, params, state, sampling, cfg_scale, max_new,
                            text_len, num_steps: int):
         step = functools.partial(self._decode_step, params, sampling,
                                  cfg_scale, max_new, text_len)
-        state, _ = jax.lax.scan(step, state, None, length=num_steps)
-        return state
+        if self.config.engine.paged_append != "staged":
+            state, _ = jax.lax.scan(
+                lambda st, _: (step(st, _)[0], None), state, None,
+                length=num_steps)
+            return state
+
+        # Staged append: the chunk's new tokens accumulate in a dense tail
+        # buffer (one scalar-indexed DUS per layer per step; the kernel reads
+        # the tail as one extra masked attention block) and scatter into
+        # pages ONCE here — replacing num_steps x B per-pair page DUS ops.
+        cfg = self.t3cfg
+        L, H, D2 = cfg.num_layers, cfg.num_kv_heads, 2 * cfg.head_dim
+        flushed = state.lengths
+        tail_k = jnp.zeros((L, self.B, H, num_steps, D2), jnp.bfloat16)
+        tail_v = jnp.zeros_like(tail_k)
+        if self.mesh is not None:
+            tspec = NamedSharding(self.mesh,
+                                  P(None, "data", "model", None, None))
+            tail_k = jax.lax.with_sharding_constraint(tail_k, tspec)
+            tail_v = jax.lax.with_sharding_constraint(tail_v, tspec)
+
+        def staged_step(carry, t):
+            st, tk, tv = carry
+            st, (tk, tv) = step(st, t, tails=(tk, tv), flushed=flushed)
+            return (st, tk, tv), None
+
+        (state, tail_k, tail_v), _ = jax.lax.scan(
+            staged_step, (state, tail_k, tail_v),
+            jnp.arange(num_steps, dtype=jnp.int32))
+
+        flush = functools.partial(_flush_tail, block_size=self.bs)
+        if self.mesh is None:
+            paged = flush(state.paged, tail_k, tail_v, flushed, ~state.done)
+        else:
+            from jax import shard_map
+            pool = P(None, "data", "model", None, None)
+            scl = P(None, "data", "model", None) if self.quantized else None
+            kv_specs = PagedKV(pool, pool, scl, scl, P("data", None))
+            tl = P(None, "data", "model", None, None)
+            paged = shard_map(
+                flush, mesh=self.mesh,
+                in_specs=(kv_specs, tl, tl, P("data"), P("data")),
+                out_specs=kv_specs, check_vma=False,
+            )(state.paged, tail_k, tail_v, flushed, ~state.done)
+        return state._replace(paged=paged)
 
     # ------------------------------------------------------------------ #
     # host scheduling (block reservation + preemption)

