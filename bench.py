@@ -280,7 +280,11 @@ def main() -> None:
     # as the fallback headline if this phase is cut short.
     if (os.environ.get("BENCH_SERVING", "1") == "1" and engine_kind == "dense"
             and max_len == 384 and B == 16):
-        eng2 = build_engine(jax, jnp, B, 1024, quant, "paged")
+        # 32 pairs: measured +37% over 16 at serving lengths (3030 vs 2212
+        # tok/s, BENCH_NOTES) with per-stream still 3.8x realtime — the
+        # launcher's --throughput preset
+        B2 = int(os.environ.get("BENCH_SERVING_BATCH", 32))
+        eng2 = build_engine(jax, jnp, B2, 1024, quant, "paged")
         mark("serving engine built")
         reqs2 = [
             T3Request(
@@ -289,7 +293,7 @@ def main() -> None:
                 sampling=SamplingConfig(temperature=0.8, top_p=0.8,
                                         repetition_penalty=2.0),
                 max_new_tokens=600)
-            for _ in range(B)
+            for _ in range(B2)
         ]
         eng2.generate(reqs2)
         mark("serving warm done")
@@ -313,10 +317,10 @@ def main() -> None:
             "value": round(tps2, 1),
             "unit": "tokens/s",
             "vs_baseline": round(tps2 / baseline, 3),
-            "per_stream_tok_s": round(tps2 / B, 1),
+            "per_stream_tok_s": round(tps2 / B2, 1),
             "t3_rtf": round(dt2 / (total2 / 25.0), 4),
             "decode_step_ms": round(1000.0 * dt2 / max(steps2, 1), 2),
-            "batch_pairs": B,
+            "batch_pairs": B2,
             "max_model_len": 1024,
             "gen_tokens": 600,
             "quant_mode": quant,

@@ -26,8 +26,10 @@ OPTIONS:
     --default        v5e (16 GB HBM): batch 8, len 1024, INT8 weights,
                      paged engine (reads only live pages: measured 6.2x the
                      dense cache at len-1024 serving, BENCH_NOTES.md)
-    --throughput     v5e/v6e dedicated: batch 16, len 1024, INT4 AWQ
-                     weights, paged engine
+    --throughput     v5e/v6e dedicated: batch 32, len 1024, INT8
+                     weights, paged engine (measured 3030 tok/s at
+                     serving lengths, 37% over batch 16, per-stream
+                     still 3.8x realtime — BENCH_NOTES.md)
     --bf16           No quantization (debug / quality baseline)
     --mesh DxM       Shard serving over a (data, model) device mesh,
                      e.g. --mesh 2x4 on an 8-chip slice (continuous or
@@ -66,9 +68,9 @@ while [[ $# -gt 0 ]]; do
         --default)
             shift ;;
         --throughput)
-            MAX_BATCH_SIZE=16; MAX_MODEL_LEN=1024; QUANT_MODE="int4_awq"
+            MAX_BATCH_SIZE=32; MAX_MODEL_LEN=1024; QUANT_MODE="int8"
             ENGINE="paged"
-            info "Throughput: batch 16, len 1024, INT4 AWQ weights, paged engine"
+            info "Throughput: batch 32, len 1024, INT8 weights, paged engine"
             shift ;;
         --bf16)
             QUANT_MODE="none"
